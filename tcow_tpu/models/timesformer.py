@@ -1,0 +1,382 @@
+'''
+Dense divided space-time transformer backbone (TimeSformer-style), TPU-native.
+
+Functional JAX reimplementation of the behavior of the reference's vendored TimeSformer
+(`/root/reference/third_party/TimeSformer/timesformer/models/vit.py:64-378`) combined with the
+dense forward wrapper (`/root/reference/model/vision_tf.py:27-169`):
+
+  - patch embedding as one big matmul over (p*p*C) patch vectors (MXU-friendly; the reference
+    uses a strided Conv2d, `vit.py:220-241`, which is mathematically identical),
+  - learned spatial + temporal position embeddings with nearest-neighbor resize on shape
+    mismatch (`vision_tf.py:103-134`),
+  - `depth` transformer blocks with *divided* space-time attention: temporal attention over the
+    T axis per patch location (optionally causal), then spatial attention over patches per frame
+    with three distinct cls-token behaviors keyed on `causal_attention` (`vit.py:155-217`),
+  - optional joint space-time attention (`--attention_type joint_space_time`),
+  - stochastic depth (DropPath) applied at the same folded-row granularity as the reference
+    (`vit_utils.py:139-163` applied at `vit.py:172/186/208/216`),
+  - optional final LayerNorm (`norm_embeddings`, `vision_tf.py:152-153`),
+  - dense per-patch output features rearranged to (B, D, T, H', W') (`vision_tf.py:163-165`).
+
+Params are plain nested dicts of jnp arrays; the `depth` blocks are stacked along a leading
+axis and executed with `lax.scan` so XLA compiles one block body regardless of depth.
+'''
+
+import dataclasses
+import functools
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Input normalization constants for pretrained backbones
+# (reference: /root/reference/model/vision_tf.py:23-24).
+TIMESFORMER_MEAN = (0.45, 0.45, 0.45)
+TIMESFORMER_STD = (0.225, 0.225, 0.225)
+
+# network_depth -> (embed_dim, num_heads), reference vit.py:424-449.
+DEPTH_PRESETS = {12: (768, 12), 18: (896, 14), 24: (1024, 16)}
+
+
+@dataclasses.dataclass(frozen=True)
+class TimeSformerConfig:
+    frame_height: int = 240
+    frame_width: int = 320
+    patch_size: int = 16
+    in_channels: int = 4
+    num_frames: int = 30
+    depth: int = 12
+    embed_dim: int = 768
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    attention_type: str = 'divided_space_time'  # or 'joint_space_time'
+    causal_attention: int = 0  # 0 off; 1/2 tril; >=3 tril(diagonal=ca-2); -1 no-cls variant
+    norm_embeddings: bool = False
+    drop_path_rate: float = 0.1
+    normalize_inputs: bool = False  # subtract ImageNet-video mean/std on RGB channels
+    ln_eps: float = 1e-6
+    compute_dtype: Any = jnp.float32  # jnp.bfloat16 for speed on TPU
+
+    @property
+    def grid_h(self) -> int:
+        return self.frame_height // self.patch_size
+
+    @property
+    def grid_w(self) -> int:
+        return self.frame_width // self.patch_size
+
+    @property
+    def num_patches(self) -> int:
+        return self.grid_h * self.grid_w
+
+    @property
+    def head_dim(self) -> int:
+        return self.embed_dim // self.num_heads
+
+    @property
+    def mlp_dim(self) -> int:
+        return int(self.embed_dim * self.mlp_ratio)
+
+    @property
+    def divided(self) -> bool:
+        return self.attention_type == 'divided_space_time'
+
+
+def config_from_network_depth(network_depth: int, **kwargs) -> TimeSformerConfig:
+    '''Mirrors the reference's depth->(embed_dim, heads) presets (vit.py:424-449).'''
+    embed_dim, num_heads = DEPTH_PRESETS[network_depth]
+    return TimeSformerConfig(depth=network_depth, embed_dim=embed_dim, num_heads=num_heads,
+                             **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# Initialization
+# ---------------------------------------------------------------------------
+
+def _trunc_normal(key, shape, std=0.02, dtype=jnp.float32):
+    # torch trunc_normal_ truncates at +-2 sigma.
+    return jax.random.truncated_normal(key, -2.0, 2.0, shape, dtype) * std
+
+
+def init_params(key: jax.Array, cfg: TimeSformerConfig) -> Dict[str, Any]:
+    '''Random init matching reference semantics: trunc_normal(0.02) linears/embeddings, zero
+    biases, unit LayerNorm, and zeroed temporal_fc for blocks > 0 (vit.py:284-297).'''
+    D, L, Hm = cfg.embed_dim, cfg.depth, cfg.mlp_dim
+    p, C = cfg.patch_size, cfg.in_channels
+    keys = jax.random.split(key, 16)
+
+    def linear(k, din, dout, n_stack=None):
+        shape = (din, dout) if n_stack is None else (n_stack, din, dout)
+        return {'w': _trunc_normal(k, shape), 'b': jnp.zeros(shape[:-2] + (dout,))}
+
+    def ln(n_stack=None):
+        shape = (D,) if n_stack is None else (n_stack, D)
+        return {'g': jnp.ones(shape), 'b': jnp.zeros(shape)}
+
+    params = {
+        'patch_embed': linear(keys[0], p * p * C, D),
+        'cls_token': _trunc_normal(keys[1], (D,)),
+        'pos_embed': _trunc_normal(keys[2], (cfg.num_patches + 1, D)),
+        'time_embed': _trunc_normal(keys[3], (cfg.num_frames, D)),
+        'norm': ln(),
+        'blocks': {
+            'norm1': ln(L),
+            'attn': {'qkv': linear(keys[4], D, 3 * D, L), 'proj': linear(keys[5], D, D, L)},
+            'norm2': ln(L),
+            'mlp': {'fc1': linear(keys[6], D, Hm, L), 'fc2': linear(keys[7], Hm, D, L)},
+        },
+    }
+    if cfg.divided:
+        temporal_fc = linear(keys[10], D, D, L)
+        # Zero temporal_fc for all blocks except the first (reference vit.py:288-297).
+        zero_mask = (jnp.arange(L) == 0).astype(jnp.float32)
+        temporal_fc['w'] = temporal_fc['w'] * zero_mask[:, None, None]
+        params['blocks'].update({
+            'temporal_norm1': ln(L),
+            'temporal_attn': {'qkv': linear(keys[8], D, 3 * D, L),
+                              'proj': linear(keys[9], D, D, L)},
+            'temporal_fc': temporal_fc,
+        })
+    return params
+
+
+def param_count(params) -> int:
+    return sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(params))
+
+
+# ---------------------------------------------------------------------------
+# Core ops
+# ---------------------------------------------------------------------------
+
+def layer_norm(x, p, eps=1e-6):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (y * p['g'] + p['b']).astype(x.dtype)
+
+
+def _dense(x, p):
+    return jnp.einsum('...d,de->...e', x, p['w']) + p['b']
+
+
+def attention(p, x, num_heads: int, causal_attention: int = 0):
+    '''Multi-head self-attention over the second-to-last axis.
+
+    Mirrors reference `Attention.forward` (vit.py:78-123): qkv projection with bias, scale
+    head_dim**-0.5, optional pre-softmax causal fill with -1e10 where the tril mask is zero
+    (diagonal = 0 for causal_attention in {1,2}, causal_attention-2 for >=3), softmax, output
+    projection.
+
+    :param x (..., S, D).
+    :return (..., S, D).
+    '''
+    *lead, S, D = x.shape
+    dh = D // num_heads
+    scale = dh ** -0.5
+    qkv = _dense(x, p['qkv'])                                   # (..., S, 3D)
+    qkv = qkv.reshape(*lead, S, 3, num_heads, dh)
+    q = jnp.moveaxis(qkv[..., 0, :, :], -2, -3)                 # (..., h, S, dh)
+    k = jnp.moveaxis(qkv[..., 1, :, :], -2, -3)
+    v = jnp.moveaxis(qkv[..., 2, :, :], -2, -3)
+
+    logits = jnp.einsum('...qd,...kd->...qk', q, k,
+                        preferred_element_type=jnp.float32) * scale  # (..., h, S, S)
+    if causal_attention > 0:
+        diag = 0 if causal_attention <= 2 else causal_attention - 2
+        mask = jnp.tril(jnp.ones((S, S), dtype=bool), k=diag)
+        logits = jnp.where(mask, logits, jnp.float32(-1e10))
+    probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+    out = jnp.einsum('...qk,...kd->...qd', probs, v)            # (..., h, S, dh)
+    out = jnp.moveaxis(out, -3, -2).reshape(*lead, S, D)
+    return _dense(out, p['proj'])
+
+
+def mlp(p, x):
+    # GELU is exact (erf) in torch nn.GELU; match it.
+    h = jax.nn.gelu(_dense(x, p['fc1']), approximate=False)
+    return _dense(h, p['fc2'])
+
+
+def drop_path(x, rate, rng, row_ndim: int):
+    '''Stochastic depth: zero whole rows with prob `rate`, scale survivors by 1/keep.
+
+    `row_ndim` = number of leading axes that form the folded batch over which independent
+    masks are drawn, matching the reference's DropPath applied to reshaped tensors
+    (vit_utils.py:139-153: mask shape (x.shape[0], 1, ..., 1) of the *folded* tensor).
+    '''
+    if rng is None:
+        return x
+    keep = 1.0 - rate
+    shape = x.shape[:row_ndim] + (1,) * (x.ndim - row_ndim)
+    mask = jax.random.bernoulli(rng, keep, shape).astype(x.dtype)
+    return x * mask / jnp.asarray(keep, x.dtype)
+
+
+def nearest_resize_1d(emb: jnp.ndarray, new_len: int, axis: int = 0) -> jnp.ndarray:
+    '''torch F.interpolate(mode=nearest) semantics: src = floor(dst * in/out).'''
+    n_in = emb.shape[axis]
+    if n_in == new_len:
+        return emb
+    idx = np.floor(np.arange(new_len) * n_in / new_len).astype(np.int32)
+    return jnp.take(emb, jnp.asarray(idx), axis=axis)
+
+
+def resize_pos_embed(pos_embed: jnp.ndarray, grid_h: int, grid_w: int) -> jnp.ndarray:
+    '''Nearest-resize the non-cls part of a (N+1, D) pos embed from a square source grid to
+    (grid_h, grid_w), reference vision_tf.py:103-117 / helpers.py:170-178.'''
+    n_src = pos_embed.shape[0] - 1
+    if n_src == grid_h * grid_w:
+        return pos_embed
+    P = int(round(math.sqrt(n_src)))
+    assert P * P == n_src, f'source pos embed grid must be square, got {n_src}'
+    D = pos_embed.shape[1]
+    grid = pos_embed[1:].reshape(P, P, D)
+    grid = nearest_resize_1d(grid, grid_h, axis=0)
+    grid = nearest_resize_1d(grid, grid_w, axis=1)
+    return jnp.concatenate([pos_embed[0:1], grid.reshape(grid_h * grid_w, D)], axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Blocks
+# ---------------------------------------------------------------------------
+
+def _divided_block(p, xs, cls, cfg: TimeSformerConfig, dpr, rngs):
+    '''One divided space-time block.
+
+    :param xs (B, N, T, D) patch tokens.
+    :param cls (B, D) cls / extra token.
+    :param dpr scalar drop-path rate for this block.
+    :param rngs None (deterministic) or dict of 3 PRNG keys.
+    :return (xs, cls) updated.
+    '''
+    B, N, T, D = xs.shape
+    ca = cfg.causal_attention
+    nh = cfg.num_heads
+    r = (lambda name: rngs[name]) if rngs is not None else (lambda name: None)
+
+    # --- Temporal attention over T per patch location (vit.py:168-176).
+    y = layer_norm(xs, p['temporal_norm1'], cfg.ln_eps)
+    res_t = attention(p['temporal_attn'], y, nh, causal_attention=ca)
+    res_t = drop_path(res_t, dpr, r('t'), row_ndim=2)  # independent mask per (b, n)
+    res_t = _dense(res_t, p['temporal_fc'])
+    xt = xs + res_t
+
+    # --- Spatial attention over patches per frame (vit.py:179-211).
+    xsp = jnp.swapaxes(xt, 1, 2)  # (B, T, N, D)
+    if ca in (0, 1):
+        cls_rep = jnp.broadcast_to(cls[:, None, None, :], (B, T, 1, D))
+        seq = jnp.concatenate([cls_rep, xsp], axis=2)  # (B, T, N+1, D)
+        res_sp = attention(p['attn'], layer_norm(seq, p['norm1'], cfg.ln_eps), nh)
+        res_sp = drop_path(res_sp, dpr, r('s'), row_ndim=2)  # mask per (b, t)
+        cls_out = res_sp[:, :, 0, :]  # (B, T, D)
+        if ca == 0:
+            # Mean over frames: the reference's non-causal-leak fix (vit.py:192-195).
+            cls_new = jnp.mean(cls_out, axis=1)
+        else:
+            cls_new = cls_out[:, 0, :]  # copy frame-0 cls (vit.py:197-198)
+        res_sp = jnp.swapaxes(res_sp[:, :, 1:, :], 1, 2)  # (B, N, T, D)
+    else:  # ca >= 2 or ca == -1: no cls token in spatial attention (vit.py:202-208).
+        res_sp = attention(p['attn'], layer_norm(xsp, p['norm1'], cfg.ln_eps), nh)
+        res_sp = drop_path(res_sp, dpr, r('s'), row_ndim=2)
+        cls_new = jnp.zeros_like(cls)
+        res_sp = jnp.swapaxes(res_sp, 1, 2)
+
+    tokens = xt + res_sp
+    cls2 = cls + cls_new
+
+    # --- MLP over cls + all tokens jointly; drop-path mask per example (vit.py:214-216).
+    rng_m = r('m')
+    tokens = tokens + drop_path(mlp(p['mlp'], layer_norm(tokens, p['norm2'], cfg.ln_eps)),
+                                dpr, rng_m, row_ndim=1)
+    cls2 = cls2 + drop_path(mlp(p['mlp'], layer_norm(cls2, p['norm2'], cfg.ln_eps))[:, None, :],
+                            dpr, rng_m, row_ndim=1)[:, 0, :]
+    return tokens, cls2
+
+
+def _joint_block(p, xs, cls, cfg: TimeSformerConfig, dpr, rngs):
+    '''Joint space-time block: one attention over the full (1 + N*T) sequence (vit.py:159-163).
+    Token order matches reference layout b (h w t) m.'''
+    B, N, T, D = xs.shape
+    r = (lambda name: rngs[name]) if rngs is not None else (lambda name: None)
+    flat = jnp.concatenate([cls[:, None, :], xs.reshape(B, N * T, D)], axis=1)
+    res = attention(p['attn'], layer_norm(flat, p['norm1'], cfg.ln_eps), cfg.num_heads)
+    flat = flat + drop_path(res, dpr, r('s'), row_ndim=1)
+    flat = flat + drop_path(mlp(p['mlp'], layer_norm(flat, p['norm2'], cfg.ln_eps)),
+                            dpr, r('m'), row_ndim=1)
+    return flat[:, 1:].reshape(B, N, T, D), flat[:, 0]
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def forward(params: Dict[str, Any], cfg: TimeSformerConfig, pixels: jnp.ndarray,
+            extra_token_in: Optional[jnp.ndarray] = None, *, train: bool = False,
+            rng: Optional[jax.Array] = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    '''Dense forward pass.
+
+    :param pixels (B, C, T, H, W) float tensor.
+    :param extra_token_in optional (B, D): overwrites the cls token (vision_tf.py:141-144).
+    :return (output_features (B, D, T, H', W'), extra_token_out (B, D)).
+    '''
+    B, C, T, H, W = pixels.shape
+    p_sz, D = cfg.patch_size, cfg.embed_dim
+    gh, gw = H // p_sz, W // p_sz
+    N = gh * gw
+    x = pixels.astype(cfg.compute_dtype)
+
+    if cfg.normalize_inputs:
+        mean = jnp.asarray(TIMESFORMER_MEAN, x.dtype).reshape(1, 3, 1, 1, 1)
+        std = jnp.asarray(TIMESFORMER_STD, x.dtype).reshape(1, 3, 1, 1, 1)
+        x = jnp.concatenate([(x[:, 0:3] - mean) / std, x[:, 3:]], axis=1)
+
+    # Patch embed: (B,C,T,H,W) -> (B,T,N, p*p*C) -> matmul. Patch vector layout is
+    # (ph, pw, C) to match the imported conv kernel permutation in torch_import.py.
+    x = x.transpose(0, 2, 3, 4, 1)                                  # (B,T,H,W,C)
+    x = x.reshape(B, T, gh, p_sz, gw, p_sz, C)
+    x = x.transpose(0, 1, 2, 4, 3, 5, 6).reshape(B, T, N, p_sz * p_sz * C)
+    pe = params['patch_embed']
+    x = jnp.einsum('btnf,fd->btnd', x, pe['w'].astype(x.dtype)) + pe['b'].astype(x.dtype)
+
+    # Position + time embeddings (nearest-resized on mismatch, vision_tf.py:103-136).
+    pos = resize_pos_embed(params['pos_embed'], gh, gw).astype(x.dtype)
+    x = x + pos[None, None, 1:, :]
+    cls = (params['cls_token'].astype(x.dtype) + pos[0])[None, :].repeat(B, axis=0)  # (B, D)
+    time = nearest_resize_1d(params['time_embed'], T, axis=0).astype(x.dtype)
+    x = x + time[None, :, None, :]
+
+    if extra_token_in is not None:
+        cls = extra_token_in.astype(x.dtype)
+
+    xs = jnp.swapaxes(x, 1, 2)  # (B, N, T, D)
+
+    # Stacked blocks via scan; per-block drop-path rates follow the linear decay rule
+    # (vit.py:272-273).
+    L = cfg.depth
+    dprs = jnp.linspace(0.0, cfg.drop_path_rate, L)
+    use_dp = train and cfg.drop_path_rate > 0.0 and rng is not None
+    if use_dp:
+        block_rngs = {k: jax.random.split(kk, L)
+                      for k, kk in zip(('t', 's', 'm'), jax.random.split(rng, 3))}
+    else:
+        block_rngs = None
+    block_fn = _divided_block if cfg.divided else _joint_block
+
+    def body(carry, scanned):
+        xs, cls = carry
+        p_l, dpr_l, rngs_l = scanned
+        xs, cls = block_fn(p_l, xs, cls, cfg, dpr_l, rngs_l)
+        return (xs, cls), None
+
+    (xs, cls), _ = jax.lax.scan(body, (xs, cls), (params['blocks'], dprs, block_rngs))
+
+    if cfg.norm_embeddings:
+        xs = layer_norm(xs, params['norm'], cfg.ln_eps)
+        cls = layer_norm(cls, params['norm'], cfg.ln_eps)
+
+    # (B, N, T, D) -> (B, D, T, H', W'), matching vision_tf.py:163-165.
+    feats = xs.reshape(B, gh, gw, T, D).transpose(0, 4, 3, 1, 2)
+    return feats, cls
