@@ -1,0 +1,73 @@
+'''
+Headline benchmark: TCOW train-step throughput in clips/sec/chip at the config of record
+(T=30 frames @ 240x320, ViT-B/16 divided space-time attention, causal_attention=1,
+3 queries/clip, batch 1 per chip — /root/reference/README.md:42-49).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline compares against the A6000 PyTorch reference estimate recorded in BASELINE.md
+(the reference repo publishes no numbers; the estimate is FLOP-derived and pending a GPU
+measurement: ~20.7 TFLOP per clip-step at Q=3 on a ~30 TFLOPS-effective A6000 at 40% MFU
+=> ~0.55 clips/sec/chip).
+'''
+
+import json
+import sys
+import time
+
+A6000_BASELINE_CLIPS_PER_SEC = 0.55  # see BASELINE.md "reference throughput estimate"
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from tcow_tpu.data.synthetic import synthetic_device_batch
+    from tcow_tpu.models.mask_tracker import SeekerConfig
+    from tcow_tpu.objectives.losses import LossConfig
+    from tcow_tpu.train import optim, step as step_lib
+
+    B, Q, T, H, W, M = 1, 3, 30, 240, 320, 36
+    seeker = SeekerConfig(num_total_frames=T, frame_height=H, frame_width=W,
+                          causal_attention=1, drop_path_rate=0.1, network_depth=12,
+                          compute_dtype=jnp.bfloat16, remat=True)
+    cfg = step_lib.StepConfig(seeker=seeker, loss=LossConfig(), num_queries=Q)
+    tx = optim.make_optimizer('adamw', learn_rate=1e-4, num_epochs=70, steps_per_epoch=1000)
+    state = step_lib.init_train_state(jax.random.key(0), cfg, tx)
+    train_step = jax.jit(step_lib.make_train_step(cfg, tx), donate_argnums=(0,))
+
+    print(f'[bench] devices: {jax.devices()}', file=sys.stderr)
+    batch_np = synthetic_device_batch(0, B=B, Q=Q, T=T, H=H, W=W, M=M, K=8)
+    batch = {k: jax.device_put(jnp.asarray(v)) for k, v in batch_np.items()}
+
+    t0 = time.time()
+    state, aux = train_step(state, batch, jnp.float32(0.1))
+    jax.block_until_ready(aux['total_seeker'])
+    print(f'[bench] first step (compile) took {time.time() - t0:.1f}s, '
+          f'loss={float(aux["total_seeker"]):.4f}', file=sys.stderr)
+
+    # Warmup + timed steps.
+    for _ in range(2):
+        state, aux = train_step(state, batch, jnp.float32(0.1))
+    jax.block_until_ready(aux['total_seeker'])
+    n_steps = 10
+    t0 = time.time()
+    for _ in range(n_steps):
+        state, aux = train_step(state, batch, jnp.float32(0.1))
+    jax.block_until_ready(aux['total_seeker'])
+    dt = time.time() - t0
+
+    step_time = dt / n_steps
+    clips_per_sec = B / step_time
+    print(f'[bench] step_time={step_time * 1e3:.1f}ms  '
+          f'clips/sec/chip={clips_per_sec:.3f}', file=sys.stderr)
+
+    print(json.dumps({
+        'metric': 'train_clips_per_sec_per_chip_T30_240x320_Q3',
+        'value': round(clips_per_sec, 4),
+        'unit': 'clips/s/chip',
+        'vs_baseline': round(clips_per_sec / A6000_BASELINE_CLIPS_PER_SEC, 3),
+    }))
+
+
+if __name__ == '__main__':
+    main()

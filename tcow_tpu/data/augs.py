@@ -1,0 +1,214 @@
+'''
+Data augmentation pipeline (host-side numpy/cv2, explicit RNG).
+
+Reimplements /root/reference/data/augs.py:12-210:
+  - temporal: palindrome p, reverse p (0.35 inside palindrome), frame-stride doubling p=0.35
+    inside palindrome, random clip offset within the loaded window (augs.py:76-97);
+  - color (train only): jitter(0.2, 0.2, 0.2, 0.1) p=0.9, gaussian blur(5, sigma 0.1-3.5)
+    p=0.2, grayscale p=0.05 (augs.py:116-119, 32-34);
+  - spatial (train only, augs_2d): horizontal flip p=0.5, random crop of 0-20% per side
+    (augs.py:121-127);
+  - test-time center crop to the training aspect ratio (augs.py:166-174);
+  - final resize: nearest for segmentation-like modalities, smooth (antialiased) otherwise
+    (augs.py:199-205).
+
+Randomness is drawn from an explicit numpy Generator for reproducibility (the reference uses
+the global numpy RNG reseeded per worker, data.py:13-24; distributional parity is the goal,
+SURVEY.md section 7.3 item 6).
+'''
+
+from typing import Dict, Optional
+
+import numpy as np
+
+
+def _rgb_to_gray(img: np.ndarray) -> np.ndarray:
+    '''(..., 3, H, W) -> (..., 1, H, W), ITU-R 601 weights like torchvision.'''
+    w = np.array([0.299, 0.587, 0.114], img.dtype)
+    return np.tensordot(w, img, axes=([0], [img.ndim - 3]))[..., None, :, :] \
+        if False else np.einsum('c,...chw->...hw', w, img)[..., None, :, :]
+
+
+def _blend(a, b, factor):
+    return np.clip(a * factor + b * (1.0 - factor), 0.0, 1.0)
+
+
+def color_jitter(frames: np.ndarray, rng: np.random.Generator, brightness=0.2, contrast=0.2,
+                 saturation=0.2, hue=0.1) -> np.ndarray:
+    '''torchvision.ColorJitter semantics on (T, 3, H, W) float frames: factors sampled once
+    per video, the four adjustments applied in a random order.'''
+    import matplotlib.colors
+    fb = rng.uniform(max(0.0, 1 - brightness), 1 + brightness)
+    fc = rng.uniform(max(0.0, 1 - contrast), 1 + contrast)
+    fs = rng.uniform(max(0.0, 1 - saturation), 1 + saturation)
+    fh = rng.uniform(-hue, hue)
+    order = rng.permutation(4)
+    out = frames.astype(np.float32)
+    for op in order:
+        if op == 0:
+            out = np.clip(out * fb, 0.0, 1.0)
+        elif op == 1:
+            mean = _rgb_to_gray(out).mean(axis=(-3, -2, -1), keepdims=True)
+            out = _blend(out, mean, fc)
+        elif op == 2:
+            gray = _rgb_to_gray(out)
+            out = _blend(out, gray, fs)
+        else:
+            hwc = out.transpose(0, 2, 3, 1)
+            hsv = matplotlib.colors.rgb_to_hsv(np.clip(hwc, 0, 1))
+            hsv[..., 0] = (hsv[..., 0] + fh) % 1.0
+            out = matplotlib.colors.hsv_to_rgb(hsv).transpose(0, 3, 1, 2).astype(np.float32)
+    return out
+
+
+def gaussian_blur(frames: np.ndarray, rng: np.random.Generator, ksize=5,
+                  sigma_range=(0.1, 3.5)) -> np.ndarray:
+    import cv2
+    sigma = float(rng.uniform(*sigma_range))
+    out = np.empty_like(frames)
+    for t in range(frames.shape[0]):
+        img = frames[t].transpose(1, 2, 0)
+        out[t] = cv2.GaussianBlur(img, (ksize, ksize), sigma).transpose(2, 0, 1)
+    return out
+
+
+def resize_frames(frames: np.ndarray, height: int, width: int, nearest: bool) -> np.ndarray:
+    '''(C, T, H, W) -> (C, T, height, width).'''
+    import cv2
+    C, T, H, W = frames.shape
+    if (H, W) == (height, width):
+        return frames
+    interp = cv2.INTER_NEAREST if nearest else (
+        cv2.INTER_AREA if height < H else cv2.INTER_LINEAR)
+    out = np.empty((C, T, height, width), frames.dtype)
+    for t in range(T):
+        img = frames[:, t].transpose(1, 2, 0)  # (H, W, C)
+        r = cv2.resize(img, (width, height), interpolation=interp)
+        if r.ndim == 2:
+            r = r[..., None]
+        out[:, t] = r.transpose(2, 0, 1)
+    return out
+
+
+class AugmentationPipeline:
+
+    def __init__(self, num_frames_load: int, num_frames_clip: int, frame_height: int,
+                 frame_width: int, frame_stride: int, do_random_augs: bool, augs_2d: bool,
+                 reverse_prob: float, palindrome_prob: float, center_crop: bool):
+        self.num_frames_load = num_frames_load
+        self.num_frames_clip = num_frames_clip
+        self.frame_height = frame_height
+        self.frame_width = frame_width
+        self.frame_stride = frame_stride
+        self.do_random_augs = do_random_augs
+        self.augs_2d = augs_2d
+        self.reverse_prob = reverse_prob
+        self.palindrome_prob = palindrome_prob
+        self.center_crop = center_crop
+
+    def sample_augs_params(self, rng: Optional[np.random.Generator] = None) -> Dict:
+        if rng is None:
+            rng = np.random.default_rng()
+        palindrome = False
+        reverse = False
+        frame_stride_factor = 1
+        offset = (self.num_frames_load - self.num_frames_clip) // 2
+        frame_inds_load = list(range(0, self.num_frames_load * self.frame_stride,
+                                     self.frame_stride))
+        frame_inds_clip = list(range(0, self.num_frames_clip))
+
+        if self.do_random_augs:
+            palindrome = rng.random() < self.palindrome_prob
+            if palindrome:
+                reverse = rng.random() < 0.35
+                frame_stride_factor = 2 if rng.random() < 0.35 else 1
+            else:
+                reverse = rng.random() < self.reverse_prob
+            if palindrome:
+                frame_inds_clip = frame_inds_clip + frame_inds_clip[::-1][1:]
+            if reverse:
+                frame_inds_clip = frame_inds_clip[::-1]
+            if frame_stride_factor > 1:
+                frame_inds_clip = frame_inds_clip[::frame_stride_factor]
+            num_avail = len(frame_inds_clip)
+            assert num_avail >= self.num_frames_clip
+            offset = int(rng.integers(0, num_avail - self.num_frames_clip + 1))
+            frame_inds_clip = frame_inds_clip[offset:offset + self.num_frames_clip]
+
+        params = {
+            'palindrome': palindrome, 'reverse': reverse,
+            'frame_stride_factor': frame_stride_factor, 'offset': offset,
+            'frame_inds_load': np.array(frame_inds_load),
+            'frame_inds_clip': np.array(frame_inds_clip),
+            'color_jitter': False, 'rgb_blur': False, 'rgb_grayscale': False,
+            'horz_flip': False, 'crop_rect': -np.ones(4),
+        }
+        if self.do_random_augs:
+            params['color_jitter'] = rng.random() < 0.9
+            params['rgb_blur'] = rng.random() < 0.2
+            params['rgb_grayscale'] = rng.random() < 0.05
+            if self.augs_2d:
+                params['horz_flip'] = rng.random() < 0.5
+                params['crop_rect'] = np.array([
+                    rng.random() * 0.2, rng.random() * 0.2 + 0.8,
+                    rng.random() * 0.2, rng.random() * 0.2 + 0.8])
+            # Color parameters are sampled lazily inside apply (same rng), so stash it.
+        params['_rng_state'] = rng.bit_generator.state
+        return params
+
+    def apply_augs_2d_frames(self, modalities: Dict[str, np.ndarray],
+                             params: Dict) -> Dict[str, np.ndarray]:
+        '''
+        :param modalities: maps name (rgb / depth / segm / div_segm / mask...) to
+            (C|K, Tv, H, W) arrays.
+        :return dict of (C|K, Tc, frame_height, frame_width) arrays.
+        '''
+        rng = np.random.default_rng()
+        if '_rng_state' in params:
+            rng.bit_generator.state = params['_rng_state']
+        out = {}
+        for modality, raw in modalities.items():
+            if raw.ndim < 4:
+                out[modality] = raw.copy()
+                continue
+            frame_inds_clip = params['frame_inds_clip']
+            assert len(frame_inds_clip) == self.num_frames_clip
+            frames = raw[:, frame_inds_clip]          # (C, Tc, H, W)
+            C, T, H, W = frames.shape
+            assert (C > 3) == ('div' in modality)
+            x = frames.transpose(1, 0, 2, 3)          # (T, C, H, W)
+
+            if self.center_crop:
+                cur_ar = W / H
+                want_ar = self.frame_width / self.frame_height
+                if cur_ar > want_ar:
+                    cw = int(H * want_ar)
+                    x0 = (W - cw) // 2
+                    x = x[..., :, x0:x0 + cw]
+                elif cur_ar < want_ar:
+                    ch = int(W / want_ar)
+                    y0 = (H - ch) // 2
+                    x = x[..., y0:y0 + ch, :]
+
+            if 'rgb' in modality:
+                if params['color_jitter']:
+                    x = color_jitter(x, rng)
+                if params['rgb_blur']:
+                    x = gaussian_blur(x, rng)
+                if params['rgb_grayscale']:
+                    x = np.repeat(_rgb_to_gray(x).transpose(0, 3, 1, 2), 3, axis=1)
+
+            if params['horz_flip']:
+                x = x[..., ::-1]
+
+            crop_rect = params['crop_rect']
+            if crop_rect is not None and np.all(np.asarray(crop_rect) >= 0.0):
+                y1, y2, x1, x2 = crop_rect
+                Hc, Wc = x.shape[-2:]
+                x = x[..., int(y1 * Hc):int(y2 * Hc), int(x1 * Wc):int(x2 * Wc)]
+
+            nearest = ('segm' in modality or 'mask' in modality)
+            x = resize_frames(np.ascontiguousarray(x.transpose(1, 0, 2, 3)),
+                              self.frame_height, self.frame_width, nearest)
+            out[modality] = x
+        return out

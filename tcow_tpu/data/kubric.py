@@ -1,0 +1,313 @@
+'''
+Kubric scene dataset: host-side loading + preprocessing + augmentation producing the
+train-step batch schema.
+
+Reimplements /root/reference/data/data_kubric.py:20-534:
+  - scene discovery under <root>/{train,val,test} or flat roots, dirs containing 'scn'
+    (data_kubric.py:60-78);
+  - per-scene preprocessing (PNG decode, hue->ID segmentation decode, amodal mask loading,
+    occlusion fractions, occlusion/containment DAG) cached to disk as .npz keyed by the
+    loaded frame window (data_kubric.py:190-339; the reference pickles, we store arrays);
+  - temporal + 2D augmentations via tcow_tpu.data.augs, with occlusion fractions
+    *recomputed post-augmentation* and the DAG subsampled on the clip frames
+    (data_kubric.py:341-434);
+  - desirability scoring + instance-axis padding to max_objects (data_kubric.py:393-418);
+  - retry-with-resample on bad scenes (<= 8, data_kubric.py:104-131) and the cache
+    self-healing retry (data_kubric.py:170-188);
+  - sanity checks incl. the [SkipCache] insufficient-valid-queries protocol
+    (data_kubric.py:436-471).
+
+Output per item is flat numpy (the device batch schema of tcow_tpu.train.step plus
+bookkeeping); collation is a plain np.stack.
+'''
+
+import glob
+import json
+import os
+import pathlib
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from tcow_tpu.data import augs as augs_lib
+from tcow_tpu.data import data_utils, vis_codec
+from tcow_tpu.data import query_sampling
+
+PREPROCESS_CACHE_VERSION = 1
+
+
+class KubricQueryDataset:
+
+    def __init__(self, dset_root: str, logger, phase: str, num_frames: int = 24,
+                 frame_height: int = 240, frame_width: int = 320, frame_rate: int = 12,
+                 frame_stride: int = 1, max_delay: int = 0, use_data_frac: float = 1.0,
+                 augs_2d: bool = True, num_queries: int = 1, query_time: float = 0.0,
+                 max_objects: int = 36, front_occl_thres: float = 0.95,
+                 outer_cont_thres: float = 0.75, reverse_prob: float = 0.0,
+                 palindrome_prob: float = 0.0, seed: int = 0, use_cache: bool = True):
+        self.dset_root = dset_root
+        self.logger = logger
+        self.phase = phase
+        self.num_frames_load = num_frames + max_delay
+        self.num_frames_clip = num_frames
+        self.frame_height = frame_height
+        self.frame_width = frame_width
+        self.frame_rate = frame_rate
+        self.frame_stride = frame_stride
+        self.max_delay = max_delay
+        self.augs_2d = augs_2d
+        self.num_queries = num_queries
+        self.query_time = query_time
+        self.max_objects = max_objects
+        self.front_occl_thres = front_occl_thres
+        self.outer_cont_thres = outer_cont_thres
+        self.use_cache = use_cache
+        self.seed = seed
+        self.epoch = 0
+
+        self.do_random_augs = (('train' in phase or 'val' in phase) and 'noaug' not in phase)
+
+        if 'train' in phase:
+            phase_dn = 'train'
+        elif 'val' in phase:
+            phase_dn = 'val'
+        elif 'test' in phase:
+            phase_dn = 'test'
+        else:
+            raise ValueError(phase)
+        phase_dp = os.path.join(dset_root, phase_dn)
+        if not os.path.exists(phase_dp):
+            phase_dp = dset_root
+
+        scene_dns = sorted(dn for dn in os.listdir(phase_dp) if 'scn' in dn)
+        self.scene_dps = [os.path.join(phase_dp, dn) for dn in scene_dns
+                          if os.path.isdir(os.path.join(phase_dp, dn))]
+        self.phase_dn = phase_dn
+        self.dset_size = len(self.scene_dps)
+        self.used_dset_size = int(use_data_frac * self.dset_size)
+        self.force_shuffle = (use_data_frac < 1.0 and
+                              ('train' in phase or 'val' in phase))
+        if logger is not None:
+            logger.info(f'(KubricQueryDataset) ({phase}) Scene count: {self.dset_size}, '
+                        f'used: {self.used_dset_size}')
+
+        self.augs_pipeline = augs_lib.AugmentationPipeline(
+            self.num_frames_load, self.num_frames_clip, frame_height, frame_width,
+            frame_stride, self.do_random_augs, augs_2d, reverse_prob, palindrome_prob,
+            center_crop=False)
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def __len__(self):
+        return self.used_dset_size
+
+    def _item_rng(self, index: int, retries: int) -> np.random.Generator:
+        return np.random.default_rng(
+            (self.seed * 1000003 + self.epoch * 9176 + index * 131 + retries * 7) % 2**63)
+
+    def __getitem__(self, index: int) -> Dict:
+        retries = 0
+        while True:
+            rng = self._item_rng(index, retries)
+            try:
+                if not self.force_shuffle and retries == 0:
+                    scene_idx = index % self.dset_size
+                else:
+                    scene_idx = int(rng.integers(self.dset_size))
+                scene_dp = self.scene_dps[scene_idx]
+                kubric_retval = self._load_example(scene_dp, rng)
+                break
+            except Exception as e:
+                retries += 1
+                if self.logger is not None:
+                    self.logger.warning(f'(KubricQueryDataset) scene {scene_idx}: {e} '
+                                        f'(retry {retries})')
+                if retries >= 8:
+                    raise
+
+        item = dict(kubric_retval)
+        item['source_name'] = 'kubric'
+        item['dset_idx'] = index
+        item['retries'] = retries
+        item['scene_idx'] = scene_idx
+        item['scene_dp'] = scene_dp
+        item['scene_dn'] = str(pathlib.Path(scene_dp).name)
+        return item
+
+    # ------------------------------------------------------------------
+    # Loading
+    # ------------------------------------------------------------------
+
+    def _load_example(self, scene_dp: str, rng) -> Dict:
+        augs_params = self.augs_pipeline.sample_augs_params(rng)
+        query_time = int(np.floor(self.query_time * self.num_frames_load))
+        # Cache self-healing: retry once with a regenerated cache (data_kubric.py:170-188).
+        for retry in range(2):
+            try:
+                return self._load_example_deterministic(
+                    scene_dp, augs_params, query_time, force_renew_cache=(retry >= 1))
+            except Exception as e:
+                if retry == 0 and '[SkipCache]' not in str(e):
+                    continue
+                raise
+
+    def _load_example_deterministic(self, scene_dp, augs_params, query_time,
+                                    force_renew_cache: bool) -> Dict:
+        frame_inds_load = augs_params['frame_inds_load']
+        cache_fn = (f'cc_tpu_{PREPROCESS_CACHE_VERSION}_{frame_inds_load[0]}_'
+                    f'{frame_inds_load[1]}_{frame_inds_load[-1]}.npz')
+        cache_fp = os.path.join(scene_dp, cache_fn)
+        pre = None
+        if self.use_cache and not force_renew_cache and os.path.exists(cache_fp):
+            try:
+                with np.load(cache_fp, allow_pickle=False) as z:
+                    pre = {k: z[k] for k in z.files}
+            except Exception:
+                pre = None
+        if pre is None:
+            pre = self._load_example_preprocess(scene_dp, frame_inds_load)
+            if self.use_cache:
+                try:
+                    tmp = cache_fp + f'.tmp{os.getpid()}'
+                    np.savez_compressed(tmp, **pre)
+                    os.replace(tmp, cache_fp)
+                except OSError:
+                    pass
+        item = self._load_example_augmentations(pre, augs_params, query_time)
+        self._load_example_verify(item, scene_dp)
+        return item
+
+    def _load_example_preprocess(self, scene_dp: str, frame_inds_load) -> Dict[str, np.ndarray]:
+        '''Deterministic part: decode + derive annotations (data_kubric.py:227-339).'''
+        import cv2
+        scene_dn = str(pathlib.Path(scene_dp).name)
+        if os.path.exists(os.path.join(scene_dp, 'frames')):
+            frames_dp = os.path.join(scene_dp, 'frames')
+            metadata_fp = os.path.join(scene_dp, scene_dn + '.json')
+        else:
+            frames_dp = os.path.join(scene_dp, 'frames_p0_v0')
+            metadata_fp = os.path.join(scene_dp, scene_dn + '_p0_v0.json')
+        with open(metadata_fp, 'r') as f:
+            metadata = json.load(f)
+        assert metadata['scene']['num_frames'] >= max(frame_inds_load) + 1, \
+            'Not enough frames on disk for requested frame_inds_load.'
+
+        K = metadata['scene']['num_valo_instances']
+        pv_rgb, pv_segm_rgb, pv_div = [], [], []
+        for t in frame_inds_load:
+            rgb_fp = os.path.join(frames_dp, f'rgba_{t:05d}.png')
+            if not os.path.exists(rgb_fp):
+                break
+            bgr = cv2.imread(rgb_fp, cv2.IMREAD_UNCHANGED)
+            pv_rgb.append((bgr[..., [2, 1, 0]] / 255.0).astype(np.float32))
+            sg = cv2.imread(os.path.join(frames_dp, f'segmentation_{t:05d}.png'))
+            pv_segm_rgb.append((sg[..., [2, 1, 0]] / 255.0).astype(np.float32))
+            per_inst = []
+            for k in range(K):
+                # The reference exporter zero-pads k to 3 digits; the synthetic fixture
+                # historically wrote bare ints -- accept both.
+                for fn in (f'divided_segmentation_{k:03d}_{t:05d}.png',
+                           f'divided_segmentation_{k}_{t:05d}.png'):
+                    fp = os.path.join(frames_dp, fn)
+                    if os.path.exists(fp):
+                        break
+                dv = cv2.imread(fp, cv2.IMREAD_UNCHANGED)
+                if dv.ndim == 3:
+                    dv = dv.sum(axis=-1)
+                per_inst.append((dv > 25).astype(np.uint8))
+            pv_div.append(np.stack(per_inst, axis=-1))
+
+        pv_rgb = np.stack(pv_rgb)                                  # (Tv, H, W, 3)
+        pv_segm_rgb = np.stack(pv_segm_rgb)                        # (Tv, H, W, 3)
+        pv_div_segm = np.stack(pv_div)                             # (Tv, H, W, K)
+        pv_segm = vis_codec.segm_rgb_to_ids_kubric(pv_segm_rgb)    # (Tv, H, W, 1)
+
+        occl_fracs = data_utils.get_thing_occl_fracs(pv_segm, pv_div_segm)  # (K, Tv, 3)
+        occl_cont_dag, _, _, recon_error = data_utils.get_thing_occl_cont_dag(
+            pv_segm, pv_div_segm, metadata, list(frame_inds_load))
+        if recon_error >= 0.02 and self.logger is not None:
+            self.logger.warning(f'(KubricQueryDataset) Large recon_error {recon_error:.3f} '
+                                f'for {scene_dp}')
+        return {
+            'pv_rgb': pv_rgb,
+            'pv_segm': pv_segm.astype(np.int32),
+            'pv_div_segm': pv_div_segm,
+            'occl_fracs': occl_fracs,
+            'occl_cont_dag': occl_cont_dag,
+            'num_valo_instances': np.int32(K),
+            'frame_inds_load': np.asarray(frame_inds_load, np.int32),
+        }
+
+    def _load_example_augmentations(self, pre, augs_params, query_time) -> Dict:
+        K = int(pre['num_valo_instances'])
+        frame_inds_clip = augs_params['frame_inds_clip']
+
+        modalities = {
+            'rgb': pre['pv_rgb'].transpose(3, 0, 1, 2),                 # (3, Tv, H, W)
+            'segm': pre['pv_segm'].transpose(3, 0, 1, 2).astype(np.uint8),
+            'div_segm': pre['pv_div_segm'].transpose(3, 0, 1, 2),       # (K, Tv, H, W)
+        }
+        aug = self.augs_pipeline.apply_augs_2d_frames(modalities, augs_params)
+        rgb_tf = aug['rgb']                                             # (3, Tc, Hf, Wf)
+        segm_tf = aug['segm'].astype(np.int32)                          # (1, Tc, Hf, Wf)
+        div_tf = aug['div_segm']                                        # (K, Tc, Hf, Wf)
+
+        # Recompute occlusion fractions post-augmentation (data_kubric.py:383-386).
+        occl_fracs_tf = data_utils.get_thing_occl_fracs(
+            segm_tf.transpose(1, 2, 3, 0), div_tf.transpose(1, 2, 3, 0))  # (K, Tc, 3)
+        occl_cont_dag_tf = pre['occl_cont_dag'][frame_inds_clip]          # (Tc, K, K, 3)
+
+        desirability_tf = query_sampling.get_thing_traject_desirability(
+            div_tf, occl_fracs_tf, query_time)                            # (K, 7)
+
+        M = self.max_objects
+        div_pad, _ = data_utils.pad_div(div_tf, [0], M)
+        occl_fracs_pad, _ = data_utils.pad_div(occl_fracs_tf, [0], M)
+        dag_pad, _ = data_utils.pad_div(occl_cont_dag_tf, [1, 2], M)
+        desir_pad, _ = data_utils.pad_div(desirability_tf, [0], M)
+
+        return {
+            'rgb': rgb_tf.astype(np.float32),
+            'segm': segm_tf[0],                       # (Tc, Hf, Wf) int32
+            'div_segm': div_pad.astype(np.uint8),     # (M, Tc, Hf, Wf)
+            'occl_fracs': occl_fracs_pad.astype(np.float32),
+            'occl_cont_dag': dag_pad.astype(np.float32),
+            'desirability': desir_pad.astype(np.float32),
+            'query_time': np.int32(query_time),
+            'inst_count': np.int32(K),
+            'frame_inds_direct': pre['frame_inds_load'][frame_inds_clip],
+            'augs_params': {k: v for k, v in augs_params.items() if k != '_rng_state'},
+        }
+
+    def _load_example_verify(self, item, scene_dp):
+        K = int(item['inst_count'])
+        segm = item['segm']
+        div = item['div_segm']
+        if segm.max() > K:
+            raise ValueError(f'K={K} but pv_segm has id {segm.max()}')
+        for k in range(K):
+            vis = (segm == k + 1).sum()
+            tot = (div[k] == 1).sum()
+            overlap = np.logical_and(segm == k + 1, div[k] == 1).sum()
+            if vis > 0 and tot > 0 and (overlap == 0 or vis >= tot * 1.1):
+                raise ValueError(f'Mismatch between segm and div_segm: {scene_dp} k={k} '
+                                 f'vis={vis} tot={tot} overlap={overlap}')
+        if (item['desirability'][:K, 0] > 0.0).sum() < self.num_queries:
+            raise ValueError(f'[SkipCache] Insufficient valid queries in {scene_dp}: '
+                             f'{item["desirability"][:K, 0]}')
+
+
+def collate_kubric(items: List[Dict], num_queries: int, phase: str,
+                   rng: Optional[np.random.Generator] = None) -> Dict[str, np.ndarray]:
+    '''Stacks dataset items into the device batch schema and samples query indices
+    (the reference does this inside the pipeline forward, pipeline.py:122-123).'''
+    B = len(items)
+    batch = {k: np.stack([it[k] for it in items])
+             for k in ('rgb', 'segm', 'div_segm', 'occl_fracs', 'occl_cont_dag')}
+    inst_count = np.array([it['inst_count'] for it in items])
+    desirability = np.stack([it['desirability'] for it in items])
+    batch['query_inds'] = query_sampling.sample_query_inds(
+        B, num_queries, inst_count, desirability, phase, rng=rng)
+    batch['query_time'] = np.int32(items[0]['query_time'])
+    return batch

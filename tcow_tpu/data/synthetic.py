@@ -1,0 +1,175 @@
+'''
+Synthetic data generation, two flavors:
+
+  1. `synthetic_device_batch`: a structured random device batch matching the train-step
+     schema (moving rectangles with a consistent depth order, real visible-vs-amodal
+     occlusion relationships). Used by bench.py, __graft_entry__.py and tests — no dataset
+     on disk required.
+
+  2. `write_synthetic_kubric_scene(s)`: writes scenes to disk in the reference Kubric export
+     layout (frames/ rgba_*.png, segmentation_*.png, divided_segmentation_*_*.png +
+     <scene>.json metadata; see /root/reference/gen_kubric/kubric_sim.py:702-714 and
+     data/data_kubric.py:227-339) so the full host data pipeline can be exercised end-to-end
+     without Blender/Kubric. The real generator lives in tcow_tpu/gen_kubric/.
+'''
+
+import json
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+
+def _moving_rects(rng: np.random.RandomState, T: int, H: int, W: int, K: int):
+    '''Returns amodal masks (K, T, H, W) uint8 and per-frame depth order (far -> near is
+    ascending instance index for simplicity), plus 3-D-ish positions for metadata.'''
+    div = np.zeros((K, T, H, W), np.uint8)
+    centers = np.zeros((K, T, 2), np.float32)
+    sizes = rng.randint(max(4, H // 8), max(6, H // 3), size=(K, 2))
+    pos0 = np.stack([rng.uniform(0, H, K), rng.uniform(0, W, K)], axis=1)
+    vel = rng.uniform(-2.5, 2.5, size=(K, 2))
+    for t in range(T):
+        p = pos0 + vel * t
+        for k in range(K):
+            cy, cx = p[k]
+            cy = int(abs(cy)) % H
+            cx = int(abs(cx)) % W
+            hh, ww = sizes[k]
+            y0, y1 = max(0, cy - hh // 2), min(H, cy + hh // 2 + 1)
+            x0, x1 = max(0, cx - ww // 2), min(W, cx + ww // 2 + 1)
+            div[k, t, y0:y1, x0:x1] = 1
+            centers[k, t] = (cy, cx)
+    return div, centers
+
+
+def make_synthetic_scene_arrays(seed: int, T: int = 8, H: int = 64, W: int = 64,
+                                K: int = 4) -> Dict[str, np.ndarray]:
+    '''Builds consistent (rgb, segm, div_segm) arrays: visible segm is the front-most
+    instance at each pixel (higher index = closer to camera).'''
+    rng = np.random.RandomState(seed)
+    div, centers = _moving_rects(rng, T, H, W, K)
+    segm = np.zeros((T, H, W), np.int32)
+    for k in range(K):  # ascending: later (nearer) instances overwrite
+        segm[div[k] == 1] = k + 1
+    colors = rng.uniform(0.1, 0.9, size=(K + 1, 3)).astype(np.float32)
+    rgb = colors[segm]  # (T, H, W, 3)
+    rgb += rng.normal(0, 0.02, rgb.shape).astype(np.float32)
+    rgb = np.clip(rgb, 0.0, 1.0)
+    return {'rgb': rgb, 'segm': segm, 'div_segm': div, 'centers': centers}
+
+
+def synthetic_device_batch(seed: int, B: int = 2, Q: int = 2, T: int = 8, H: int = 64,
+                           W: int = 64, M: int = 8, K: int = 4,
+                           query_time: int = 0) -> Dict[str, np.ndarray]:
+    '''Generates a batch in the train-step schema with physically-consistent occlusion
+    fractions and a plausible occlusion/containment DAG.'''
+    from tcow_tpu.data import data_utils
+    rng = np.random.RandomState(seed)
+    batch = {
+        'rgb': np.zeros((B, 3, T, H, W), np.float32),
+        'segm': np.zeros((B, T, H, W), np.int32),
+        'div_segm': np.zeros((B, M, T, H, W), np.uint8),
+        'query_inds': np.zeros((B, Q), np.int32),
+        'query_time': np.int32(query_time),
+        'occl_fracs': np.zeros((B, M, T, 3), np.float32),
+        'occl_cont_dag': np.zeros((B, T, M, M, 3), np.float32),
+    }
+    for b in range(B):
+        scene = make_synthetic_scene_arrays(seed * 997 + b, T, H, W, K)
+        batch['rgb'][b] = scene['rgb'].transpose(3, 0, 1, 2)
+        batch['segm'][b] = scene['segm']
+        batch['div_segm'][b, :K] = scene['div_segm']
+        occl_fracs = data_utils.get_thing_occl_fracs(
+            scene['segm'][..., None], scene['div_segm'].transpose(1, 2, 3, 0))
+        batch['occl_fracs'][b, :K] = occl_fracs
+        # Random-but-valid DAG values (zero diagonal, zero padding).
+        dag = rng.rand(T, K, K, 3).astype(np.float32) * 0.5
+        dag[:, np.arange(K), np.arange(K)] = 0.0
+        batch['occl_cont_dag'][b, :, :K, :K] = dag
+        # Queries must be visible at query_time; pick the instances with most visible pixels.
+        vis = np.array([(scene['segm'][query_time] == k + 1).sum() for k in range(K)])
+        batch['query_inds'][b] = np.argsort(vis)[::-1][:Q].astype(np.int32)
+    return batch
+
+
+# ---------------------------------------------------------------------------
+# On-disk synthetic Kubric-format scenes
+# ---------------------------------------------------------------------------
+
+def write_synthetic_kubric_scene(scene_dp: str, seed: int, T: int = 12, H: int = 64,
+                                 W: int = 96, K: int = 4) -> None:
+    '''Writes one scene directory in the reference export layout (kubric_sim.py:702-714):
+      <scene>/frames/rgba_00000.png ...
+      <scene>/frames/segmentation_00000.png (hue-palette instance colors)
+      <scene>/frames/divided_segmentation_<k>_<t>.png
+      <scene>/<scene>.json  (camera + instance metadata, written last as completion marker)
+    '''
+    import cv2
+    from tcow_tpu.data import vis_codec
+    name = os.path.basename(scene_dp.rstrip('/'))
+    frames_dp = os.path.join(scene_dp, 'frames')
+    os.makedirs(frames_dp, exist_ok=True)
+    scene = make_synthetic_scene_arrays(seed, T, H, W, K)
+    rng = np.random.RandomState(seed + 1)
+
+    for t in range(T):
+        rgba = (np.concatenate([scene['rgb'][t],
+                                np.ones((H, W, 1), np.float32)], axis=-1) * 255).astype(np.uint8)
+        cv2.imwrite(os.path.join(frames_dp, f'rgba_{t:05d}.png'), rgba[..., [2, 1, 0, 3]])
+        segm_rgb = vis_codec.segm_ids_to_rgb_kubric(scene['segm'][t], K)
+        cv2.imwrite(os.path.join(frames_dp, f'segmentation_{t:05d}.png'),
+                    (segm_rgb * 255).astype(np.uint8)[..., ::-1])
+        for k in range(K):
+            mask = (scene['div_segm'][k, t] * 255).astype(np.uint8)
+            cv2.imwrite(os.path.join(frames_dp, f'divided_segmentation_{k:03d}_{t:05d}.png'),
+                        mask)
+        # Depth as uint16 tiff-style png (loader tolerates absence; keep minimal).
+
+    # Metadata: camera at z=10 looking down; depth z = k so larger k is closer to the
+    # camera, consistent with the painter's order used for the visible segmentation.
+    instances = []
+    for k in range(K):
+        positions = []
+        bboxes_3d = []
+        for t in range(T):
+            cy, cx = scene['centers'][k, t]
+            pos = [float(cx) / W, float(cy) / H, float(k)]
+            positions.append(pos)
+            s = 0.1
+            corners = [[pos[0] + dx, pos[1] + dy, pos[2] + dz]
+                       for dx in (-s, s) for dy in (-s, s) for dz in (-s, s)]
+            bboxes_3d.append(corners)
+        instances.append({'positions': positions, 'bboxes_3d': bboxes_3d,
+                          'asset_id': f'synthetic_{k}', 'mass': 1.0, 'scale': 1.0})
+    metadata = {
+        'scene': {'num_frames': T, 'frame_rate': 12, 'resolution': [W, H],
+                  'num_valo_instances': K},
+        'camera': {'positions': [[0.0, 0.0, 10.0]] * T,
+                   'field_of_view': 0.9},
+        'instances': instances,
+    }
+    with open(os.path.join(scene_dp, f'{name}.json'), 'w') as f:
+        json.dump(metadata, f)
+
+
+def write_synthetic_kubric_dataset(root_dp: str, num_scenes: int = 3, seed: int = 0,
+                                   **scene_kwargs) -> None:
+    for i in range(num_scenes):
+        scene_dn = f'{os.path.basename(root_dp.rstrip("/"))}_scn{i:05d}'
+        write_synthetic_kubric_scene(os.path.join(root_dp, scene_dn), seed + i,
+                                     **scene_kwargs)
+
+
+if __name__ == '__main__':
+    import argparse
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--out', required=True)
+    parser.add_argument('--num_scenes', type=int, default=3)
+    parser.add_argument('--frames', type=int, default=12)
+    parser.add_argument('--height', type=int, default=64)
+    parser.add_argument('--width', type=int, default=96)
+    parser.add_argument('--seed', type=int, default=0)
+    a = parser.parse_args()
+    write_synthetic_kubric_dataset(a.out, a.num_scenes, a.seed, T=a.frames, H=a.height,
+                                   W=a.width)
+    print(f'Wrote {a.num_scenes} synthetic scenes to {a.out}')

@@ -46,6 +46,9 @@ class SeekerConfig:
     flag_channels: int = 3
     pretrained: bool = False  # controls input RGB normalization (vision_tf.py:81-89)
     compute_dtype: Any = jnp.float32
+    remat: bool = False  # per-block rematerialization in the backbone
+    batch_axis: Any = None  # mesh axis names for DP / sequence parallelism (see
+    seq_axis: Any = None    # timesformer.TimeSformerConfig)
 
     @property
     def input_channels(self) -> int:
@@ -60,7 +63,8 @@ class SeekerConfig:
             embed_dim=embed_dim, num_heads=num_heads,
             attention_type=self.attention_type, causal_attention=self.causal_attention,
             norm_embeddings=self.norm_embeddings, drop_path_rate=self.drop_path_rate,
-            normalize_inputs=self.pretrained, compute_dtype=self.compute_dtype)
+            normalize_inputs=self.pretrained, compute_dtype=self.compute_dtype,
+            remat=self.remat, batch_axis=self.batch_axis, seq_axis=self.seq_axis)
 
 
 def seeker_config_from_args(seeker_args: Dict[str, Any], **overrides) -> SeekerConfig:

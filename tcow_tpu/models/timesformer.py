@@ -58,6 +58,13 @@ class TimeSformerConfig:
     normalize_inputs: bool = False  # subtract ImageNet-video mean/std on RGB channels
     ln_eps: float = 1e-6
     compute_dtype: Any = jnp.float32  # jnp.bfloat16 for speed on TPU
+    remat: bool = False  # rematerialize each block in the backward pass (saves HBM)
+    # Sequence parallelism (Ulysses-style for divided attention, SURVEY.md section 5.7):
+    # when seq_axis names a mesh axis (caller must be under jax.set_mesh of an Auto-axes
+    # mesh), the patch axis is sharded over it during temporal attention and the frame axis
+    # during spatial attention; XLA inserts the all-to-alls at the transposes.
+    batch_axis: Any = None  # mesh axis name for the batch dim, e.g. 'data'
+    seq_axis: Any = None    # mesh axis name for the token dim, e.g. 'seq'
 
     @property
     def grid_h(self) -> int:
@@ -159,7 +166,8 @@ def layer_norm(x, p, eps=1e-6):
 
 
 def _dense(x, p):
-    return jnp.einsum('...d,de->...e', x, p['w']) + p['b']
+    # Cast weights at use: master params stay fp32, activations keep compute_dtype.
+    return jnp.einsum('...d,de->...e', x, p['w'].astype(x.dtype)) + p['b'].astype(x.dtype)
 
 
 def attention(p, x, num_heads: int, causal_attention: int = 0):
@@ -243,6 +251,15 @@ def resize_pos_embed(pos_embed: jnp.ndarray, grid_h: int, grid_w: int) -> jnp.nd
 # Blocks
 # ---------------------------------------------------------------------------
 
+def _seq_constrain(x, cfg: 'TimeSformerConfig'):
+    '''Shard axis 1 (the folded sequence axis) over cfg.seq_axis, batch over cfg.batch_axis.'''
+    if cfg.seq_axis is None and cfg.batch_axis is None:
+        return x
+    from jax.sharding import PartitionSpec as P
+    spec = (cfg.batch_axis, cfg.seq_axis) + (None,) * (x.ndim - 2)
+    return jax.lax.with_sharding_constraint(x, P(*spec))
+
+
 def _divided_block(p, xs, cls, cfg: TimeSformerConfig, dpr, rngs):
     '''One divided space-time block.
 
@@ -258,6 +275,7 @@ def _divided_block(p, xs, cls, cfg: TimeSformerConfig, dpr, rngs):
     r = (lambda name: rngs[name]) if rngs is not None else (lambda name: None)
 
     # --- Temporal attention over T per patch location (vit.py:168-176).
+    xs = _seq_constrain(xs, cfg)  # shard patches; temporal attention is local per patch
     y = layer_norm(xs, p['temporal_norm1'], cfg.ln_eps)
     res_t = attention(p['temporal_attn'], y, nh, causal_attention=ca)
     res_t = drop_path(res_t, dpr, r('t'), row_ndim=2)  # independent mask per (b, n)
@@ -266,6 +284,7 @@ def _divided_block(p, xs, cls, cfg: TimeSformerConfig, dpr, rngs):
 
     # --- Spatial attention over patches per frame (vit.py:179-211).
     xsp = jnp.swapaxes(xt, 1, 2)  # (B, T, N, D)
+    xsp = _seq_constrain(xsp, cfg)  # shard frames; spatial attention is local per frame
     if ca in (0, 1):
         cls_rep = jnp.broadcast_to(cls[:, None, None, :], (B, T, 1, D))
         seq = jnp.concatenate([cls_rep, xsp], axis=2)  # (B, T, N+1, D)
@@ -370,6 +389,12 @@ def forward(params: Dict[str, Any], cfg: TimeSformerConfig, pixels: jnp.ndarray,
         p_l, dpr_l, rngs_l = scanned
         xs, cls = block_fn(p_l, xs, cls, cfg, dpr_l, rngs_l)
         return (xs, cls), None
+
+    if cfg.remat:
+        # Per-block rematerialization: the scan carries are kept, block internals are
+        # recomputed during the backward pass (the TPU substitute for the reference's
+        # 38 GB activation footprint, README.md:49).
+        body = jax.checkpoint(body, prevent_cse=False)
 
     (xs, cls), _ = jax.lax.scan(body, (xs, cls), (params['blocks'], dprs, block_rngs))
 

@@ -1,0 +1,153 @@
+'''
+The jitted training / evaluation step: supervision building + forward + losses + metrics +
+gradients + optimizer update compiled into ONE XLA program, data-parallel over the mesh.
+
+Replaces the reference's per-query python loop (pipeline.py:134-174) with a folded (B*Q)
+batch, its GPU-0 loss reduction (train.py:64-102) with SPMD all-reduce, and its NaN-skip
+logic (train.py:91-92) with a lax-select on loss finiteness.
+
+Batch schema (all static shapes; instance axis padded to M, SURVEY.md section 7.3):
+  rgb           (B, 3, T, H, W) float32
+  segm          (B, T, H, W)    int32   1-based visible instance IDs
+  div_segm      (B, M, T, H, W) uint8   amodal instance masks
+  query_inds    (B, Q)          int32   host-sampled query instance indices
+  query_time    ()              int32   shared query frame index
+  occl_fracs    (B, M, T, 3)    float32
+  occl_cont_dag (B, T, M, M, 3) float32
+'''
+
+import dataclasses
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from tcow_tpu.models import mask_tracker
+from tcow_tpu.models.mask_tracker import SeekerConfig
+from tcow_tpu.objectives import losses as losses_lib
+from tcow_tpu.objectives import metrics as metrics_lib
+from tcow_tpu.objectives import supervision
+from tcow_tpu.objectives.losses import LossConfig
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    rng: jax.Array
+    step: jnp.ndarray  # int32 scalar
+
+
+@dataclasses.dataclass(frozen=True)
+class StepConfig:
+    seeker: SeekerConfig  # set seeker.remat=True for training at full size
+    loss: LossConfig
+    num_queries: int = 3
+
+
+def init_train_state(rng: jax.Array, cfg: StepConfig,
+                     tx: optax.GradientTransformation,
+                     params: Optional[Any] = None) -> TrainState:
+    k_init, k_state = jax.random.split(rng)
+    if params is None:
+        params = mask_tracker.init_params(k_init, cfg.seeker)
+    return TrainState(params=params, opt_state=tx.init(params), rng=k_state,
+                      step=jnp.int32(0))
+
+
+def _forward_queries(params, cfg: StepConfig, batch, sup, train: bool, rng):
+    '''Runs the seeker on all (example, query) pairs as one folded batch.
+    Returns output_mask (B, Q, C, T, H, W) and output_flags (B, Q, T, F).'''
+    B, Q = batch['query_inds'].shape
+    rgb = batch['rgb']
+    _, _, T, H, W = rgb.shape
+    rgb_q = jnp.broadcast_to(rgb[:, None], (B, Q) + rgb.shape[1:])
+    rgb_q = rgb_q.reshape(B * Q, 3, T, H, W)
+    qmask = sup['seeker_query_mask'].reshape(B * Q, 1, T, H, W)
+
+    out_mask, out_flags = mask_tracker.forward(params, cfg.seeker, rgb_q, qmask,
+                                               train=train, rng=rng)
+    C = cfg.seeker.output_channels
+    out_mask = out_mask.reshape(B, Q, C, T, H, W)
+    if out_flags is not None:
+        out_flags = out_flags.reshape(B, Q, T, -1)
+    return out_mask, out_flags
+
+
+def build_supervision(cfg: StepConfig, batch) -> Dict[str, jnp.ndarray]:
+    return supervision.fill_query_target_batch(
+        batch['segm'], batch['div_segm'], batch['query_inds'], batch['query_time'],
+        batch['occl_fracs'], batch['occl_cont_dag'],
+        front_occl_thres=cfg.loss.front_occl_thres,
+        outer_cont_thres=cfg.loss.outer_cont_thres)
+
+
+def _loss_and_aux(params, cfg: StepConfig, batch, rng, progress, train: bool):
+    sup = build_supervision(cfg, batch)
+    out_mask, out_flags = _forward_queries(params, cfg, batch, sup, train, rng)
+
+    # (B, Q, T, 3) occlusion fractions of the selected queries (pipeline.py:164-165).
+    sel_occl_fracs = jax.vmap(lambda of, qi: of[qi])(batch['occl_fracs'],
+                                                     batch['query_inds'])
+    loss_retval = losses_lib.compute_losses(
+        cfg.loss, out_mask, sup['target_mask'], sel_occl_fracs,
+        sup['snitch_occl_by_ptr'], batch['query_time'], progress)
+    msums = metrics_lib.mask_track_metric_sums(out_mask, sup['target_mask'])
+
+    aux = {
+        'track': loss_retval['track'],
+        'occl_mask': loss_retval['occl_mask'],
+        'cont_mask': loss_retval['cont_mask'],
+        'total_seeker': loss_retval['total_seeker'],
+        'metric_sums': msums,
+    }
+    return loss_retval['total_seeker'], aux
+
+
+def make_train_step(cfg: StepConfig, tx: optax.GradientTransformation,
+                    donate: bool = True):
+    '''Returns train_step(state, batch, progress) -> (state, scalars_dict), jittable.'''
+
+    def train_step(state: TrainState, batch, progress):
+        rng, rng_dp = jax.random.split(state.rng)
+        grad_fn = jax.value_and_grad(_loss_and_aux, has_aux=True)
+        (loss, aux), grads = grad_fn(state.params, cfg, batch, rng_dp, progress, True)
+
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        # Skip the update entirely on non-finite loss (train.py:91-92).
+        ok = jnp.isfinite(loss)
+        sel = lambda new, old: jax.tree_util.tree_map(
+            lambda n, o: jnp.where(ok, n, o), new, old)
+        new_state = TrainState(params=sel(new_params, state.params),
+                               opt_state=sel(new_opt_state, state.opt_state),
+                               rng=rng, step=state.step + 1)
+        aux = dict(aux)
+        aux['skipped_nonfinite'] = (~ok).astype(jnp.float32)
+        aux['grad_norm'] = optax.global_norm(grads)
+        return new_state, aux
+
+    return train_step
+
+
+def make_eval_step(cfg: StepConfig):
+    '''Returns eval_step(params, batch, progress) -> scalars dict (losses + metric sums);
+    no gradients, no dropout/drop-path.'''
+
+    def eval_step(params, batch, progress):
+        _, aux = _loss_and_aux(params, cfg, batch, None, progress, False)
+        return aux
+
+    return eval_step
+
+
+def make_inference_step(cfg: SeekerConfig):
+    '''Plugin-style inference: (params, rgb (B,3,T,H,W), query (B,1,T,H,W)) ->
+    (mask logits (B,3,T,H,W), flags (B,T,F)). Matches the reference forward_plugin
+    (pipeline.py:202-240).'''
+
+    def infer(params, rgb, query):
+        return mask_tracker.forward(params, cfg, rgb, query, train=False)
+
+    return infer

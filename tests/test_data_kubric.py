@@ -1,0 +1,169 @@
+'''
+End-to-end host data path: synthetic Kubric-format scenes on disk -> KubricQueryDataset ->
+collated device batch -> supervision builder, plus codec roundtrip, occl-fracs/DAG oracles,
+desirability, usage modes, and augmentation determinism.
+'''
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+import conftest  # noqa: F401
+from tcow_tpu.data import data_utils, vis_codec, synthetic, query_sampling
+from tcow_tpu.data.kubric import KubricQueryDataset, collate_kubric
+
+
+def test_segm_codec_roundtrip():
+    rng = np.random.RandomState(0)
+    for K in (3, 7, 20):
+        ids = rng.randint(0, K + 1, size=(4, 16, 16))
+        ids.flat[:K + 1] = np.arange(K + 1)  # ensure every id appears
+        rgb = vis_codec.segm_ids_to_rgb_kubric(ids, K)
+        # Simulate PNG uint8 quantization.
+        rgb_q = np.round(rgb * 255.0) / 255.0
+        back = vis_codec.segm_rgb_to_ids_kubric(rgb_q)[..., 0]
+        np.testing.assert_array_equal(back, ids)
+
+
+def test_occl_fracs_matches_loop_oracle():
+    rng = np.random.RandomState(1)
+    T, H, W, K = 3, 10, 12, 4
+    segm = rng.randint(0, K + 1, size=(T, H, W, 1))
+    div = (rng.rand(T, H, W, K) > 0.5).astype(np.uint8)
+    got = data_utils.get_thing_occl_fracs(segm, div)
+    want = np.zeros((K, T, 3), np.float32)
+    for k in range(K):
+        for f in range(T):
+            vis = (segm[f, ..., 0] == k + 1).sum()
+            tot = (div[f, ..., k] == 1).sum()
+            want[k, f, 0] = 1.0 - vis / tot if tot > 0 else 0.0
+            want[k, f, 1] = vis / (H * W)
+            want[k, f, 2] = tot / (H * W)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+
+
+def test_containment_fraction():
+    from tcow_tpu.data import geometry
+    # Unit cube corners in the reference's expected layout (origin first, adjacent second).
+    def cube(origin, size):
+        o = np.asarray(origin, float)
+        e = np.eye(3) * size
+        return np.stack([o, o + e[0], o + e[1], o + e[2],
+                         o + e[0] + e[1], o + e[0] + e[2], o + e[1] + e[2], o + e.sum(0)])
+    inner = cube([0.25, 0.25, 0.25], 0.5)
+    outer = cube([0, 0, 0], 1.0)
+    assert geometry.get_containment_fraction_approx(inner, outer) == 1.0
+    assert geometry.get_containment_fraction_approx(outer, inner) < 0.5
+    far = cube([5, 5, 5], 1.0)
+    assert geometry.get_containment_fraction_approx(far, outer) == 0.0
+
+
+def test_dag_shapes_and_ordering():
+    scene = synthetic.make_synthetic_scene_arrays(0, T=4, H=32, W=32, K=3)
+    metadata = _fake_metadata(scene, T=4, K=3)
+    dag, rel_order, recon, err = data_utils.get_thing_occl_cont_dag(
+        scene['segm'][..., None], scene['div_segm'].transpose(1, 2, 3, 0), metadata,
+        list(range(4)))
+    assert dag.shape == (4, 3, 3, 3)
+    assert np.all(np.diagonal(dag, 0, 1, 2) == 0.0)
+    # od only for candidates in front (higher index = closer in the synthetic scene).
+    for t in range(4):
+        for ref in range(3):
+            for cand in range(ref):  # cand behind ref
+                assert dag[t, ref, cand, 1] == 0.0
+    # recon should match segm well (painters algorithm == synthetic construction).
+    assert err < 0.01, err
+
+
+def _fake_metadata(scene, T, K):
+    instances = []
+    for k in range(K):
+        positions = [[0.0, 0.0, float(k)]] * T  # higher k = closer to camera at z=10
+        s = 0.1
+        corners = [[dx, dy, float(k) + dz]
+                   for dx in (0, s) for dy in (0, s) for dz in (0, s)]
+        # reorder to origin-first + adjacent layout
+        corners = np.array([corners[0], corners[4], corners[2], corners[1],
+                            corners[6], corners[5], corners[3], corners[7]])
+        instances.append({'positions': positions, 'bboxes_3d': [corners.tolist()] * T})
+    return {'camera': {'positions': [[0.0, 0.0, 10.0]] * T},
+            'instances': instances}
+
+
+def test_usage_modes():
+    modes = data_utils.get_usage_modes(list(range(0, 100)), [20], list(range(0, 100, 5)),
+                                       num_frames=10, query_time=2)
+    assert len(modes) > 0
+    for start, stride, cov in modes:
+        assert start + 2 * stride == 20  # query frame lands at position 2
+        assert 1 <= stride <= 10
+        assert 0 < cov <= 1
+
+
+def test_desirability_penalizes_invisible():
+    K, T, H, W = 2, 4, 32, 32
+    div = np.zeros((K, T, H, W), np.uint8)
+    div[0, :, 4:20, 4:20] = 1
+    occl = np.zeros((K, T, 3), np.float32)
+    occl[0, :, 1] = 0.25  # big visible object
+    occl[1, :, 1] = 0.0   # never visible
+    d = query_sampling.get_thing_traject_desirability(div, occl, 0)
+    assert d.shape == (K, 7)
+    assert d[0, 0] > d[1, 0]
+    assert d[1, 0] < 0  # hard penalties dominate
+
+
+@pytest.fixture(scope='module')
+def synth_dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp('kub')
+    synthetic.write_synthetic_kubric_dataset(str(root), num_scenes=2, seed=3,
+                                             T=10, H=48, W=64, K=4)
+    return str(root)
+
+
+def test_kubric_dataset_end_to_end(synth_dataset):
+    ds = KubricQueryDataset(synth_dataset, None, 'train', num_frames=8, frame_height=32,
+                            frame_width=48, max_delay=2, num_queries=2, max_objects=6,
+                            augs_2d=True, reverse_prob=0.1, palindrome_prob=0.1, seed=5)
+    assert len(ds) == 2
+    item = ds[0]
+    assert item['rgb'].shape == (3, 8, 32, 48)
+    assert item['segm'].shape == (8, 32, 48)
+    assert item['div_segm'].shape == (6, 8, 32, 48)
+    assert item['occl_fracs'].shape == (6, 8, 3)
+    assert item['occl_cont_dag'].shape == (8, 6, 6, 3)
+    assert item['source_name'] == 'kubric'
+
+    batch = collate_kubric([ds[0], ds[1]], num_queries=2, phase='train',
+                           rng=np.random.default_rng(0))
+    assert batch['query_inds'].shape == (2, 2)
+
+    # The batch must drive the on-device supervision builder without empty targets.
+    from tcow_tpu.objectives import supervision
+    sup = supervision.fill_query_target_batch(
+        jnp.asarray(batch['segm']), jnp.asarray(batch['div_segm']),
+        jnp.asarray(batch['query_inds']), jnp.int32(batch['query_time']),
+        jnp.asarray(batch['occl_fracs']), jnp.asarray(batch['occl_cont_dag']))
+    qm = np.asarray(sup['seeker_query_mask'])
+    tm = np.asarray(sup['target_mask'])
+    assert qm.reshape(2, 2, -1).any(axis=-1).all(), 'empty query mask sampled'
+    assert tm[:, :, 0].reshape(2, 2, -1).any(axis=-1).all(), 'empty snitch target'
+
+
+def test_kubric_dataset_deterministic_per_index(synth_dataset):
+    ds = KubricQueryDataset(synth_dataset, None, 'val_noaug', num_frames=8, frame_height=32,
+                            frame_width=48, num_queries=1, max_objects=6, seed=7)
+    a = ds[0]
+    b = ds[0]
+    np.testing.assert_array_equal(a['rgb'], b['rgb'])
+    np.testing.assert_array_equal(a['segm'], b['segm'])
+
+
+def test_kubric_cache_reuse(synth_dataset, tmp_path):
+    import glob, os
+    ds = KubricQueryDataset(synth_dataset, None, 'val_noaug', num_frames=8, frame_height=32,
+                            frame_width=48, num_queries=1, max_objects=6, seed=7)
+    _ = ds[0]
+    caches = glob.glob(os.path.join(synth_dataset, '*', 'cc_tpu_*.npz'))
+    assert len(caches) >= 1
+    _ = ds[0]  # second load goes through the cache path

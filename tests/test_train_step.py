@@ -1,0 +1,146 @@
+'''
+Train-step tests: single-device smoke + overfit trend, NaN skip, data-parallel execution over
+the 8-device CPU mesh (equivalence with single-device), checkpoint roundtrip, LR schedule.
+'''
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+import conftest  # noqa: F401
+from tcow_tpu.data.synthetic import synthetic_device_batch
+from tcow_tpu.models.mask_tracker import SeekerConfig
+from tcow_tpu.objectives.losses import LossConfig
+from tcow_tpu.parallel import mesh as mesh_lib
+from tcow_tpu.train import checkpoint as ckpt_lib
+from tcow_tpu.train import optim, step as step_lib
+
+
+def tiny_step_config(**kw):
+    seeker = SeekerConfig(num_total_frames=4, frame_height=32, frame_width=32,
+                          causal_attention=1, drop_path_rate=0.0, network_depth=12,
+                          **kw.pop('seeker_kw', {}))
+    # Shrink the backbone via a custom config path: patch depth fields through replace.
+    import dataclasses
+    return step_lib.StepConfig(seeker=seeker, loss=LossConfig(), num_queries=2)
+
+
+def tiny_batch(B=2, seed=0):
+    return synthetic_device_batch(seed, B=B, Q=2, T=4, H=32, W=32, M=6, K=3)
+
+
+@pytest.fixture(scope='module')
+def small_model():
+    '''A genuinely small model: monkeypatch DEPTH_PRESETS for a 2-block, 32-dim backbone.'''
+    from tcow_tpu.models import timesformer as tsf
+    old = dict(tsf.DEPTH_PRESETS)
+    tsf.DEPTH_PRESETS[2] = (32, 4)
+    yield
+    tsf.DEPTH_PRESETS.clear()
+    tsf.DEPTH_PRESETS.update(old)
+
+
+def make_cfg_and_state(small=True, seed=0):
+    seeker = SeekerConfig(num_total_frames=4, frame_height=32, frame_width=32,
+                          causal_attention=1, drop_path_rate=0.0, network_depth=2)
+    cfg = step_lib.StepConfig(seeker=seeker, loss=LossConfig(), num_queries=2)
+    tx = optim.make_optimizer('adamw', learn_rate=1e-3, num_epochs=10, steps_per_epoch=5)
+    state = step_lib.init_train_state(jax.random.key(seed), cfg, tx)
+    return cfg, tx, state
+
+
+def test_train_step_runs_and_learns(small_model):
+    cfg, tx, state = make_cfg_and_state()
+    train_step = jax.jit(step_lib.make_train_step(cfg, tx))
+    batch = {k: jnp.asarray(v) for k, v in tiny_batch().items()}
+    losses = []
+    for i in range(8):
+        state, aux = train_step(state, batch, jnp.float32(i / 100))
+        losses.append(float(aux['total_seeker']))
+        assert float(aux['skipped_nonfinite']) == 0.0
+    assert np.isfinite(losses).all()
+    # Overfitting a single batch must reduce the loss.
+    assert losses[-1] < losses[0], losses
+
+
+def test_train_step_nan_skip(small_model):
+    cfg, tx, state = make_cfg_and_state()
+    train_step = jax.jit(step_lib.make_train_step(cfg, tx))
+    batch = {k: jnp.asarray(v) for k, v in tiny_batch().items()}
+    bad = dict(batch)
+    bad['rgb'] = batch['rgb'].at[0, 0, 0, 0, 0].set(jnp.nan)
+    params_before = jax.tree_util.tree_leaves(state.params)
+    state2, aux = train_step(state, bad, jnp.float32(0.0))
+    assert float(aux['skipped_nonfinite']) == 1.0
+    for a, b in zip(params_before, jax.tree_util.tree_leaves(state2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(state2.step) == int(state.step) + 1  # step still advances
+
+
+def test_data_parallel_matches_single_device(small_model):
+    cfg, tx, state = make_cfg_and_state()
+    batch_np = tiny_batch(B=8, seed=3)
+
+    # Single device.
+    train_step = jax.jit(step_lib.make_train_step(cfg, tx))
+    state1, aux1 = train_step(state, {k: jnp.asarray(v) for k, v in batch_np.items()},
+                              jnp.float32(0.0))
+
+    # 8-device data parallel: params replicated, batch sharded; XLA inserts the collectives.
+    mesh = mesh_lib.make_mesh()
+    assert mesh.devices.size == 8
+    state_r = mesh_lib.replicate_tree(state, mesh)
+    batch_sh = mesh_lib.shard_batch(batch_np, mesh)
+    state8, aux8 = train_step(state_r, batch_sh, jnp.float32(0.0))
+
+    np.testing.assert_allclose(float(aux8['total_seeker']), float(aux1['total_seeker']),
+                               rtol=1e-5)
+    l1 = jax.tree_util.tree_leaves(state1.params)
+    l8 = jax.tree_util.tree_leaves(state8.params)
+    for a, b in zip(l1, l8):
+        # Reduction order differs across devices -> small float noise is expected.
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)
+
+
+def test_eval_step_metrics(small_model):
+    cfg, tx, state = make_cfg_and_state()
+    eval_step = jax.jit(step_lib.make_eval_step(cfg))
+    batch = {k: jnp.asarray(v) for k, v in tiny_batch().items()}
+    aux = eval_step(state.params, batch, jnp.float32(0.5))
+    assert 'metric_sums' in aux
+    assert float(aux['metric_sums']['count_snitch_iou']) > 0
+
+
+def test_checkpoint_roundtrip(small_model, tmp_path):
+    cfg, tx, state = make_cfg_and_state()
+    d = str(tmp_path / 'ckpt')
+    ckpt_lib.save_checkpoint(d, epoch=4, name='unit', params=state.params,
+                             opt_state=state.opt_state, rng=state.rng, step=state.step,
+                             seeker_args={'network_depth': 2}, train_args={'seed': 900})
+    # Fresh template, then restore.
+    _, _, template = make_cfg_and_state(seed=99)
+    loaded = ckpt_lib.load_checkpoint(
+        ckpt_lib.resolve_resume_path(str(tmp_path), 'ckpt'), state_template=template)
+    assert loaded['epoch'] == 4
+    assert loaded['seeker_args']['network_depth'] == 2
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(loaded['state'].params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(state.opt_state),
+                    jax.tree_util.tree_leaves(loaded['state'].opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # Sidecars + snapshot file exist (epoch 4 % checkpoint_every 2 == 0).
+    import os
+    assert os.path.exists(os.path.join(d, 'checkpoint_epoch.txt'))
+    assert os.path.exists(os.path.join(d, 'model_4.npz'))
+    assert ckpt_lib.get_checkpoint_epoch(os.path.join(d, 'checkpoint.npz')) == 4
+
+
+def test_multistep_schedule():
+    sched = optim.multistep_schedule(1e-4, 0.3, num_epochs=70, steps_per_epoch=10)
+    assert np.isclose(sched(0), 1e-4)
+    assert np.isclose(sched(27 * 10), 1e-4)          # before 2/5 * 70 = 28
+    assert np.isclose(sched(28 * 10), 1e-4 * 0.3)    # at milestone
+    assert np.isclose(sched(42 * 10), 1e-4 * 0.09)   # after 3/5
+    assert np.isclose(sched(56 * 10), 1e-4 * 0.027)  # after 4/5
