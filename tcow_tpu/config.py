@@ -1,0 +1,202 @@
+'''
+Flag-compatible argument system.
+
+Mirrors /root/reference/args.py (shared_args :34-95, train_args :97-217, test_args :220-259,
+verify_args :262-335) so the reference's documented train/eval commands run unchanged. TPU
+additions are kept to a dedicated group (--mesh_devices, --seq_shards, --compute_dtype,
+--remat) with defaults that preserve reference behavior.
+'''
+
+import argparse
+import multiprocessing as mp
+import os
+from typing import Any, Dict
+
+import numpy as np
+
+
+def _str2bool(v):
+    if isinstance(v, bool):
+        return v
+    if v.lower() in ('yes', 'true', 't', 'y', '1'):
+        return True
+    if v.lower() in ('no', 'false', 'f', 'n', '0'):
+        return False
+    raise argparse.ArgumentTypeError('Boolean value expected.')
+
+
+def shared_args(parser: argparse.ArgumentParser):
+    parser.add_argument('--seed', default=900, type=int)
+    parser.add_argument('--log_level', default='info', type=str,
+                        choices=['debug', 'info', 'warn'])
+    parser.add_argument('--device', default='tpu', type=str,
+                        choices=['tpu', 'cuda', 'cpu'],
+                        help='Accelerator; cuda is accepted for reference-command '
+                             'compatibility and treated as tpu.')
+    parser.add_argument('--batch_size', default=4, type=int)
+    parser.add_argument('--num_workers', default=-1, type=int)
+    parser.add_argument('--checkpoint_root', default='checkpoints/', type=str)
+    parser.add_argument('--log_root', default='logs/', type=str)
+    parser.add_argument('--name', '--tag', default='', type=str)
+    parser.add_argument('--resume', '--checkpoint_name', default='', type=str)
+    parser.add_argument('--epoch', default=-1, type=int)
+    parser.add_argument('--avoid_wandb', default=0, type=int)
+    parser.add_argument('--log_rarely', default=0, type=int)
+    parser.add_argument('--data_path', required=True, type=str, nargs='+')
+    parser.add_argument('--use_data_frac', default=1.0, type=float)
+    parser.add_argument('--num_queries', default=1, type=int)
+    # Automatically inferred options (do not assign).
+    parser.add_argument('--is_debug', default=False, type=_str2bool)
+    parser.add_argument('--checkpoint_path', default='', type=str)
+    parser.add_argument('--train_log_path', default='', type=str)
+    parser.add_argument('--log_path', default='', type=str)
+    parser.add_argument('--wandb_group', default='group', type=str)
+    # TPU-specific resource options.
+    parser.add_argument('--mesh_devices', default=-1, type=int,
+                        help='Number of devices in the mesh; -1 = all.')
+    parser.add_argument('--seq_shards', default=1, type=int,
+                        help='Sequence-parallel shards (second mesh axis).')
+    parser.add_argument('--compute_dtype', default='bfloat16', type=str,
+                        choices=['bfloat16', 'float32'])
+
+
+def train_args(argv=None):
+    parser = argparse.ArgumentParser()
+    shared_args(parser)
+    parser.add_argument('--num_epochs', default=70, type=int)
+    parser.add_argument('--checkpoint_every', default=2, type=int)
+    parser.add_argument('--learn_rate', default=1e-4, type=float)
+    parser.add_argument('--lr_decay', default=0.3, type=float)
+    parser.add_argument('--do_val_aug', default=True, type=_str2bool)
+    parser.add_argument('--do_val_noaug', default=False, type=_str2bool)
+    parser.add_argument('--val_every', default=2, type=int)
+    parser.add_argument('--num_frames', default=24, type=int)
+    parser.add_argument('--frame_height', default=240, type=int)
+    parser.add_argument('--frame_width', default=320, type=int)
+    parser.add_argument('--augs_2d', default=True, type=_str2bool)
+    parser.add_argument('--kubric_frame_rate', default=12, type=int)
+    parser.add_argument('--kubric_frame_stride', default=1, type=int)
+    parser.add_argument('--kubric_max_delay', default=6, type=int)
+    parser.add_argument('--kubric_reverse_prob', default=0.1, type=float)
+    parser.add_argument('--kubric_palindrome_prob', default=0.1, type=float)
+    parser.add_argument('--tracker_pretrained', default='1', type=str)
+    parser.add_argument('--attention_type', default='divided_space_time', type=str,
+                        choices=['divided_space_time', 'joint_space_time'])
+    parser.add_argument('--patch_size', default=16, type=int)
+    parser.add_argument('--causal_attention', default=1, type=int)
+    parser.add_argument('--norm_embeddings', default=False, type=_str2bool)
+    parser.add_argument('--drop_path_rate', default=0.1, type=float)
+    parser.add_argument('--network_depth', default=12, type=int)
+    parser.add_argument('--seeker_frames', default=[-1], type=int, nargs='+')
+    parser.add_argument('--seeker_query_time', default=0.0, type=float)
+    parser.add_argument('--gradient_clip', default=0.3, type=float)
+    parser.add_argument('--optimizer', default='adamw', type=str,
+                        choices=['sgd', 'adam', 'adamw', 'lamb'])
+    parser.add_argument('--track_lw', default=1.0, type=float)
+    parser.add_argument('--occl_mask_lw', default=0.5, type=float)
+    parser.add_argument('--cont_mask_lw', default=0.5, type=float)
+    parser.add_argument('--occluded_weight', default=5.0, type=float)
+    parser.add_argument('--occl_cont_zero_weight', default=0.02, type=float)
+    parser.add_argument('--class_balancing', default=True, type=_str2bool)
+    parser.add_argument('--focal_loss', default=False, type=_str2bool)
+    parser.add_argument('--aot_loss', default=0.8, type=float)
+    parser.add_argument('--hard_negative_factor', default=3.0, type=float)
+    parser.add_argument('--front_occl_thres', default=0.95, type=float)
+    parser.add_argument('--outer_cont_thres', default=0.75, type=float)
+    parser.add_argument('--remat', default=True, type=_str2bool,
+                        help='Per-block rematerialization in the backward pass.')
+    args = parser.parse_args(argv)
+    verify_args(args, is_train=True)
+    return args
+
+
+def test_args(argv=None):
+    parser = argparse.ArgumentParser()
+    shared_args(parser)
+    parser.add_argument('--gpu_id', default=0, type=int)  # accepted, unused on TPU
+    parser.add_argument('--plugin_frame_rate', default=30, type=int)
+    parser.add_argument('--plugin_prefer_frame_stride', default=3, type=int)
+    parser.add_argument('--center_crop', default=True, type=_str2bool)
+    parser.add_argument('--store_results', default=False, type=_str2bool)
+    parser.add_argument('--annots_must_exist', default=False, type=_str2bool)
+    parser.add_argument('--extra_visuals', default=False, type=_str2bool)
+    parser.add_argument('--test_log_path', default='', type=str)
+    args = parser.parse_args(argv)
+    verify_args(args, is_train=False)
+    return args
+
+
+def verify_args(args, is_train: bool = False):
+    '''Post-parse derivation, mirroring args.py:262-335.'''
+    args.is_debug = args.name.startswith('d')
+    args.wandb_group = ('train' if is_train else 'test') + \
+                       ('_debug' if args.is_debug else '')
+
+    if is_train:
+        assert args.occl_cont_zero_weight < 0.5
+    else:
+        args.batch_size = 1  # test batches are single clips (args.py:276)
+
+    if args.num_workers < 0:
+        if is_train:
+            frac = 0.30 if args.is_debug else 0.45
+            sub = 4 if args.is_debug else 6
+            args.num_workers = max(int(mp.cpu_count() * frac) - sub, 4)
+        else:
+            args.num_workers = 4
+        args.num_workers = min(args.num_workers, 80)
+    args.num_workers = int(args.num_workers)
+
+    if args.name != '':
+        if args.resume != '':
+            resume_name = args.resume
+            from tcow_tpu.train import checkpoint as ckpt_lib
+            args.resume = ckpt_lib.resolve_resume_path(
+                args.checkpoint_root, args.resume, args.epoch)
+
+        if is_train:
+            args.checkpoint_path = os.path.join(args.checkpoint_root, args.name)
+            args.train_log_path = os.path.join(args.log_root, args.name)
+            os.makedirs(args.checkpoint_path, exist_ok=True)
+            os.makedirs(args.train_log_path, exist_ok=True)
+            args.log_path = args.train_log_path
+        else:
+            assert args.resume != ''
+            args.checkpoint_path = os.path.join(args.checkpoint_root, resume_name)
+            args.train_log_path = os.path.join(args.log_root, resume_name)
+            os.makedirs(args.train_log_path, exist_ok=True)
+            from tcow_tpu.train import checkpoint as ckpt_lib
+            epoch = ckpt_lib.get_checkpoint_epoch(args.resume)
+            args.name += f'_e{epoch}'
+            args.test_log_path = os.path.join(args.train_log_path, 'test_' + args.name)
+            args.log_path = args.test_log_path
+            os.makedirs(args.test_log_path, exist_ok=True)
+
+
+def args_to_dict(args) -> Dict[str, Any]:
+    return {k: v for k, v in vars(args).items()}
+
+
+def build_seeker_args(args) -> Dict[str, Any]:
+    '''The seeker_args dict embedded in checkpoints (train.py:186-206).'''
+    max_seeker_frames = max(args.seeker_frames)
+    if max_seeker_frames < 0 or max_seeker_frames > args.num_frames:
+        max_seeker_frames = args.num_frames
+    return dict(
+        num_total_frames=args.num_frames,
+        num_visible_frames=max_seeker_frames,
+        frame_height=args.frame_height,
+        frame_width=args.frame_width,
+        tracker_pretrained=args.tracker_pretrained,
+        attention_type=args.attention_type,
+        patch_size=args.patch_size,
+        causal_attention=args.causal_attention,
+        norm_embeddings=args.norm_embeddings,
+        drop_path_rate=args.drop_path_rate,
+        network_depth=args.network_depth,
+        track_map_stride=4,
+        track_map_resize='bilinear',
+        query_channels=1,
+        output_channels=3,
+        flag_channels=3,
+    )

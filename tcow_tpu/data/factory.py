@@ -1,0 +1,204 @@
+'''
+Dataset/loader factory: source sniffing + train/val/test construction.
+
+Reimplements /root/reference/data/data.py:27-228: kubric vs plugin source detection by path
+substring/extension, the train->test dset_args propagation with an explicit override
+whitelist (use_data_frac, augs_2d=False, num_queries) to block train/test domain shift, and
+plugin test args (prefetch=True, center_crop).
+
+The loader here is a lightweight thread-pool prefetcher producing numpy batches (the
+reference uses torch DataLoader worker processes, data.py:74-84).
+'''
+
+import queue
+import threading
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from tcow_tpu.data import kubric as kubric_lib
+from tcow_tpu.data import plugin as plugin_lib
+
+
+def is_kubric_source(p: str) -> bool:
+    pl = p.lower()
+    return 'kubcon' in pl or 'kubbench' in pl or 'kubric' in pl
+
+
+def is_plugin_source(p: str) -> bool:
+    pl = p.lower()
+    return ('plugin' in pl or 'rubric' in pl
+            or pl.endswith(('.mp4', '.avi', '.gif', '.webm')))
+
+
+class PrefetchLoader:
+    '''Iterates a dataset in batches with background workers + bounded prefetch.'''
+
+    def __init__(self, dataset, batch_size: int, collate_fn: Callable, shuffle: bool,
+                 drop_last: bool, num_workers: int = 2, prefetch_depth: int = 2,
+                 seed: int = 0):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.collate_fn = collate_fn
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self.prefetch_depth = prefetch_depth
+        self.seed = seed
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+        if hasattr(self.dataset, 'set_epoch'):
+            self.dataset.set_epoch(epoch)
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self):
+        rng = np.random.default_rng(self.seed * 77 + self.epoch)
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng.shuffle(order)
+        n_batches = len(self)
+        batches = [order[i * self.batch_size:(i + 1) * self.batch_size]
+                   for i in range(n_batches)]
+
+        q: 'queue.Queue' = queue.Queue(maxsize=self.prefetch_depth)
+        stop = threading.Event()
+
+        def producer():
+            import concurrent.futures
+            with concurrent.futures.ThreadPoolExecutor(self.num_workers) as pool:
+                for batch_inds in batches:
+                    if stop.is_set():
+                        return
+                    try:
+                        items = list(pool.map(self.dataset.__getitem__, batch_inds))
+                        q.put(('ok', self.collate_fn(items)))
+                    except Exception as e:
+                        q.put(('err', e))
+                        return
+            q.put(('done', None))
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                kind, payload = q.get()
+                if kind == 'done':
+                    return
+                if kind == 'err':
+                    raise payload
+                yield payload
+        finally:
+            stop.set()
+
+
+def _kubric_dset_args(args) -> Dict[str, Any]:
+    return dict(
+        num_frames=args.num_frames, frame_height=args.frame_height,
+        frame_width=args.frame_width, frame_rate=args.kubric_frame_rate,
+        frame_stride=args.kubric_frame_stride, max_delay=args.kubric_max_delay,
+        use_data_frac=args.use_data_frac, augs_2d=args.augs_2d,
+        num_queries=args.num_queries, query_time=args.seeker_query_time,
+        max_objects=36, front_occl_thres=args.front_occl_thres,
+        outer_cont_thres=args.outer_cont_thres, reverse_prob=args.kubric_reverse_prob,
+        palindrome_prob=args.kubric_palindrome_prob)
+
+
+def create_train_val_data_loaders(args, logger):
+    '''return (train_loader, val_aug_loader, val_noaug_loader, dset_args_sources).'''
+    dset_args_sources = {}
+    loaders = {}
+    for cur_data_path in args.data_path:
+        if is_plugin_source(cur_data_path):
+            raise NotImplementedError('Plugin video is only available at test time.')
+        # Like the reference, any non-plugin directory is treated as kubric-format.
+        dset_args = _kubric_dset_args(args)
+        dset_args_sources['kubric'] = dset_args
+        for phase, enabled in (('train', True), ('val_aug', args.do_val_aug),
+                               ('val_noaug', args.do_val_noaug)):
+            if not enabled:
+                loaders.setdefault(phase, None)
+                continue
+            ds = kubric_lib.KubricQueryDataset(cur_data_path, logger, phase,
+                                               seed=args.seed, **dset_args)
+            collate = _make_kubric_collate(args.num_queries, phase, args.seed)
+            loaders[phase] = PrefetchLoader(ds, args.batch_size, collate, shuffle=True,
+                                            drop_last=True,
+                                            num_workers=min(args.num_workers, 8),
+                                            seed=args.seed)
+    return loaders['train'], loaders['val_aug'], loaders['val_noaug'], dset_args_sources
+
+
+def _make_kubric_collate(num_queries: int, phase: str, seed: int):
+    rng = np.random.default_rng(seed * 31 + hash(phase) % 1000)
+
+    def collate(items: List[Dict]) -> Dict[str, Any]:
+        batch = kubric_lib.collate_kubric(items, num_queries, phase, rng=rng)
+        batch_meta = {
+            'source_name': 'kubric',
+            'scene_dn': [it['scene_dn'] for it in items],
+            'scene_idx': np.array([it['scene_idx'] for it in items]),
+            'dset_idx': np.array([it['dset_idx'] for it in items]),
+            'inst_count': np.array([it['inst_count'] for it in items]),
+            'desirability': np.stack([it['desirability'] for it in items]),
+        }
+        return {'device': batch, 'meta': batch_meta}
+
+    return collate
+
+
+def _plugin_collate(items: List[Dict]) -> Dict[str, Any]:
+    device = {
+        'rgb': np.stack([it['rgb'] for it in items]),
+        'query': np.stack([it['query'] for it in items]),
+        'target': np.stack([it['target'] for it in items]),
+    }
+    meta = {k: [it[k] for it in items]
+            for k in ('source_name', 'src_path', 'dset_idx', 'scene_idx', 'usage_mode_idx',
+                      'frame_start', 'frame_stride', 'target_coverage',
+                      'match_prefer_fstride')}
+    meta['source_name'] = 'plugin'
+    return {'device': device, 'meta': meta}
+
+
+def create_test_data_loader(train_args: Dict[str, Any], test_args,
+                            train_dset_args_sources: Dict[str, Any], logger,
+                            data_path: Optional[str] = None):
+    '''Builds ONE test loader for one data path (the reference's outer loop creates one at a
+    time to bound memory, eval/test.py:83-108).
+    return (loader, test_dset_args_sources).'''
+    cur_data_path = data_path if data_path is not None else test_args.data_path[0]
+    if 'kubric' not in train_dset_args_sources:
+        train_dset_args_sources = {'kubric': train_dset_args_sources}
+    test_dset_args_sources = {}
+
+    if is_kubric_source(cur_data_path) or not is_plugin_source(cur_data_path):
+        test_dset_args = dict(train_dset_args_sources['kubric'])
+        test_dset_args.pop('load_full_segm', None)
+        test_dset_args['use_data_frac'] = test_args.use_data_frac
+        test_dset_args['augs_2d'] = False
+        test_dset_args['num_queries'] = test_args.num_queries
+        ds = kubric_lib.KubricQueryDataset(cur_data_path, logger, 'test',
+                                           seed=test_args.seed, **test_dset_args)
+        collate = _make_kubric_collate(test_args.num_queries, 'test', test_args.seed)
+        test_dset_args_sources['kubric'] = test_dset_args
+    else:
+        ka = train_dset_args_sources['kubric']
+        test_dset_args = dict(
+            num_clip_frames=ka['num_frames'], frame_height=ka['frame_height'],
+            frame_width=ka['frame_width'], frame_rate=test_args.plugin_frame_rate,
+            prefer_frame_stride=test_args.plugin_prefer_frame_stride,
+            query_time=ka['query_time'], annots_must_exist=test_args.annots_must_exist,
+            prefetch=True, center_crop=test_args.center_crop)
+        ds = plugin_lib.PluginVideoDataset(cur_data_path, logger, 'test', **test_dset_args)
+        collate = _plugin_collate
+        test_dset_args_sources['plugin'] = test_dset_args
+
+    loader = PrefetchLoader(ds, test_args.batch_size, collate, shuffle=False,
+                            drop_last=False, num_workers=min(test_args.num_workers, 4),
+                            seed=test_args.seed)
+    return loader, test_dset_args_sources

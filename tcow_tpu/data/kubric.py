@@ -103,8 +103,9 @@ class KubricQueryDataset:
         return self.used_dset_size
 
     def _item_rng(self, index: int, retries: int) -> np.random.Generator:
-        return np.random.default_rng(
-            (self.seed * 1000003 + self.epoch * 9176 + index * 131 + retries * 7) % 2**63)
+        seed = (int(self.seed) * 1000003 + int(self.epoch) * 9176
+                + int(index) * 131 + int(retries) * 7) % (2 ** 63)
+        return np.random.default_rng(seed)
 
     def __getitem__(self, index: int) -> Dict:
         retries = 0

@@ -1,0 +1,126 @@
+'''
+Inference helpers: network loading from self-describing checkpoints + jitted test-time
+forward passes.
+
+Reimplements /root/reference/eval/inference.py:19-93. Checkpoints rebuild the model entirely
+from their embedded seeker_args; both this package's .npz checkpoints and the reference's
+.pth torch checkpoints load. The plugin path batches multiple usage modes per device step
+(the reference runs one clip at a time at batch 1, args.py:276; BASELINE.json asks for
+batched multi-stride inference).
+'''
+
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+from tcow_tpu.models import mask_tracker
+from tcow_tpu.models.mask_tracker import SeekerConfig, seeker_config_from_args
+from tcow_tpu.objectives import metrics as metrics_lib
+from tcow_tpu.objectives.losses import LossConfig
+from tcow_tpu.train import checkpoint as ckpt_lib
+from tcow_tpu.train import step as step_lib
+
+
+def load_networks(checkpoint_path: str, logger, epoch: int = -1, compute_dtype=None
+                  ) -> Tuple[Dict, SeekerConfig, Dict, Dict, Dict, int]:
+    '''(params, seeker_cfg, train_args, train_dset_args, seeker_args, epoch).'''
+    print_fn = logger.info if logger is not None else print
+    assert os.path.exists(checkpoint_path), checkpoint_path
+    if os.path.isdir(checkpoint_path):
+        checkpoint_path = ckpt_lib.resolve_resume_path(
+            os.path.dirname(checkpoint_path), os.path.basename(checkpoint_path), epoch)
+    print_fn('Loading weights from: ' + checkpoint_path)
+
+    if checkpoint_path.endswith('.pth'):
+        from tcow_tpu.models import torch_import
+        params, cfg, ckpt = torch_import.load_tcow_checkpoint(checkpoint_path)
+        train_args = ckpt.get('train_args', {})
+        if not isinstance(train_args, dict):
+            train_args = vars(train_args)
+        dset_args = ckpt.get('dset_args', {})
+        seeker_args = dict(ckpt.get('seeker_args', {}))
+        epoch = int(ckpt.get('epoch', -1))
+    else:
+        loaded = ckpt_lib.load_checkpoint(checkpoint_path)
+        params = loaded['params']
+        seeker_args = loaded['seeker_args']
+        train_args = loaded['train_args']
+        dset_args = loaded['dset_args']
+        cfg = seeker_config_from_args(seeker_args)
+        epoch = int(loaded['epoch'])
+    if compute_dtype is not None:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, compute_dtype=compute_dtype)
+    print_fn('=> Loaded epoch (1-based): ' + str(epoch + 1))
+    return params, cfg, train_args, dset_args, seeker_args, epoch
+
+
+class InferenceEngine:
+    '''Holds jitted test-time programs (compiled once per input shape).'''
+
+    def __init__(self, params, cfg: SeekerConfig, loss_cfg: LossConfig, num_queries: int):
+        import jax
+        self.params = jax.device_put(params)
+        self.cfg = cfg
+        step_cfg = step_lib.StepConfig(seeker=cfg, loss=loss_cfg, num_queries=num_queries)
+        self._kubric_step = jax.jit(step_lib.make_eval_step(step_cfg, return_outputs=True))
+        self._plugin_step = jax.jit(self._plugin_fn)
+
+    def _plugin_fn(self, params, rgb, query, target):
+        import jax
+        out_mask, out_flags = mask_tracker.forward(params, self.cfg, rgb, query,
+                                                   train=False)
+        per_ex = jax.vmap(lambda o, t: metrics_lib.mask_track_metric_sums(
+            o[None, None], t[None, None]))(out_mask, target)
+        return out_mask, out_flags, per_ex
+
+    def run_kubric(self, device_batch: Dict[str, Any], progress: float = 1.0):
+        '''One kubric test batch -> (model_retval, loss_retval) on host, reference schemas
+        (pipeline.py:186-198, loss.py:323-327).'''
+        import jax
+        import jax.numpy as jnp
+        batch = {k: jnp.asarray(v) for k, v in device_batch.items()}
+        aux = self._kubric_step(self.params, batch, jnp.float32(progress))
+        aux = jax.device_get(aux)
+        model_retval = {
+            'seeker_input': device_batch['rgb'],
+            'output_mask': aux['output_mask'],
+            'output_flags': aux['output_flags'],
+            'target_mask': aux['target_mask'],
+            'seeker_query_mask': aux['seeker_query_mask'],
+            'snitch_weights': aux['snitch_weights'],
+            'sel_query_inds': device_batch['query_inds'],
+        }
+        loss_retval = {
+            'track': float(aux['track']),
+            'occl_mask': float(aux['occl_mask']),
+            'cont_mask': float(aux['cont_mask']),
+            'total_seeker': float(aux['total_seeker']),
+            'metrics': metrics_lib.finalize_metric_sums(aux['metric_sums']),
+        }
+        return model_retval, loss_retval
+
+    def run_plugin(self, rgb: np.ndarray, query: np.ndarray, target: np.ndarray):
+        '''Batched usage modes -> per-example (model_retval, loss_retval) lists.'''
+        import jax
+        import jax.numpy as jnp
+        out_mask, out_flags, per_ex = self._plugin_step(
+            self.params, jnp.asarray(rgb), jnp.asarray(query), jnp.asarray(target))
+        out_mask = np.asarray(out_mask)
+        out_flags = np.asarray(out_flags) if out_flags is not None else None
+        per_ex = jax.device_get(per_ex)
+        B = rgb.shape[0]
+        results = []
+        for b in range(B):
+            model_retval = {
+                'seeker_input': rgb[b:b + 1],
+                'output_mask': out_mask[b:b + 1],
+                'output_flags': None if out_flags is None else out_flags[b:b + 1],
+                'target_mask': target[b:b + 1],
+                'seeker_query_mask': query[b:b + 1],
+            }
+            sums_b = {k: v[b] for k, v in per_ex.items()}
+            loss_retval = {'metrics': metrics_lib.finalize_metric_sums(sums_b)}
+            results.append((model_retval, loss_retval))
+        return results

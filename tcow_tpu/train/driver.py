@@ -1,0 +1,227 @@
+'''
+Training orchestration: epoch loop, validation phases, checkpointing, resume.
+
+Reimplements /root/reference/train.py:30-318 TPU-natively: the per-step work (supervision +
+forward + loss + grads + update) is one jitted XLA program data-parallel over the mesh
+(replacing the DataParallel wrap at train.py:222-223); the host side keeps the reference's
+behaviors: seeds, epoch/validation cadence (val_every, do_val_aug/do_val_noaug), <=20
+tolerated exceptions per epoch (train.py:77-84), '*ba*' runs checkpointing before training
+(train.py:123-125), self-describing checkpoints + resume.
+'''
+
+import random
+import time
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from tcow_tpu import config as config_lib
+from tcow_tpu.models import mask_tracker
+from tcow_tpu.models.mask_tracker import SeekerConfig, seeker_config_from_args
+from tcow_tpu.objectives import metrics as metrics_lib
+from tcow_tpu.objectives.losses import LossConfig
+from tcow_tpu.parallel import mesh as mesh_lib
+from tcow_tpu.train import checkpoint as ckpt_lib
+from tcow_tpu.train import optim, step as step_lib
+
+
+def loss_config_from_args(args) -> LossConfig:
+    return LossConfig(
+        track_lw=args.track_lw, occl_mask_lw=args.occl_mask_lw,
+        cont_mask_lw=args.cont_mask_lw, occluded_weight=args.occluded_weight,
+        occl_cont_zero_weight=args.occl_cont_zero_weight,
+        class_balancing=args.class_balancing, focal_loss=args.focal_loss,
+        aot_loss=args.aot_loss, hard_negative_factor=args.hard_negative_factor,
+        front_occl_thres=args.front_occl_thres, outer_cont_thres=args.outer_cont_thres)
+
+
+def build_seeker_config(args, seeker_args: Dict[str, Any], mesh=None) -> SeekerConfig:
+    import jax.numpy as jnp
+    overrides = dict(
+        compute_dtype=jnp.bfloat16 if getattr(args, 'compute_dtype', 'bfloat16')
+        == 'bfloat16' else jnp.float32,
+        remat=getattr(args, 'remat', True),
+        batch_axis=mesh_lib.DATA_AXIS if mesh is not None else None,
+        seq_axis=mesh_lib.SEQ_AXIS
+        if mesh is not None and mesh.shape[mesh_lib.SEQ_AXIS] > 1 else None)
+    return seeker_config_from_args(seeker_args, **overrides)
+
+
+def init_seeker_params(rng, cfg: SeekerConfig, seeker_args: Dict[str, Any], logger):
+    '''Random init, optionally bootstrapped from pretrained weights. The reference downloads
+    ImageNet ViT-B/16 when tracker_pretrained is truthy (helpers.py:100-205); this image has
+    no network egress, so pretrained init requires a local file path (a .pth torch
+    checkpoint: either an image ViT to inflate or a TCOW checkpoint).'''
+    params = mask_tracker.init_params(rng, cfg)
+    tp = seeker_args.get('tracker_pretrained', False)
+    path = ''
+    if isinstance(tp, str) and len(tp) > 5 and tp.lower() not in ('false', 'true'):
+        path = tp
+    if path:
+        from tcow_tpu.models import torch_import
+        logger.info(f'Bootstrapping backbone from pretrained weights: {path}')
+        sd = torch_import.load_torch_file(path)
+        if 'net_seeker' in sd:
+            params = torch_import.seeker_params_from_torch(sd['net_seeker'], cfg)
+        else:
+            if 'model' in sd:
+                sd = sd['model']
+            bb_cfg = cfg.backbone_config()
+            inflated = torch_import.inflate_imagenet_vit_state_dict(
+                sd, in_chans=cfg.input_channels, num_patches=bb_cfg.num_patches,
+                num_frames=bb_cfg.num_frames, attention_type=cfg.attention_type)
+            params['backbone'] = torch_import.apply_pretrained_to_params(
+                params['backbone'], inflated, bb_cfg)
+    elif cfg.pretrained:
+        logger.warning('tracker_pretrained requested but no local weight file given; '
+                       'this environment has no network egress -> random init. Pass a '
+                       'local .pth path via --tracker_pretrained to bootstrap.')
+    return params
+
+
+def main(args, logger):
+    import jax
+    import jax.numpy as jnp
+    from tcow_tpu.data import factory
+
+    logger.save_args(args, 'train')
+    np.random.seed(args.seed)
+    random.seed(args.seed)
+
+    # Mesh + model. The data axis must divide the global batch size; shrink it if needed.
+    n_dev = args.mesh_devices if args.mesh_devices > 0 else len(jax.devices())
+    n_data = max(n_dev // args.seq_shards, 1)
+    while args.batch_size % n_data != 0:
+        n_data -= 1
+    if n_data * args.seq_shards != n_dev:
+        logger.warning(f'Using {n_data * args.seq_shards}/{n_dev} devices so the data axis '
+                       f'({n_data}) divides batch_size ({args.batch_size}).')
+    mesh = mesh_lib.make_mesh(num_devices=n_data * args.seq_shards, seq=args.seq_shards)
+    logger.info(f'Device mesh: {dict(mesh.shape)} on {jax.devices()[0].platform}')
+
+    seeker_args = config_lib.build_seeker_args(args)
+    cfg = build_seeker_config(args, seeker_args, mesh)
+    step_cfg = step_lib.StepConfig(seeker=cfg, loss=loss_config_from_args(args),
+                                   num_queries=args.num_queries)
+    rng = jax.random.key(args.seed)
+    params = init_seeker_params(rng, cfg, seeker_args, logger)
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
+    logger.info(f'Seeker parameter count: {int(np.round(n_params / 1e6))}M')
+
+    # Data.
+    start_time = time.time()
+    train_loader, val_aug_loader, val_noaug_loader, dset_args = \
+        factory.create_train_val_data_loaders(args, logger)
+    logger.info(f'Data loaders ready ({time.time() - start_time:.3f}s)')
+    steps_per_epoch = len(train_loader)
+
+    # Optimizer + state.
+    tx = optim.make_optimizer(args.optimizer, args.learn_rate, args.lr_decay,
+                              args.num_epochs, steps_per_epoch, args.gradient_clip)
+    state = step_lib.init_train_state(rng, step_cfg, tx, params=params)
+
+    start_epoch = 0
+    if args.resume:
+        logger.info('Loading weights from: ' + args.resume)
+        if args.resume.endswith('.pth'):
+            from tcow_tpu.models import torch_import
+            p, _, ckpt = torch_import.load_tcow_checkpoint(args.resume)
+            state = state._replace(params=p)
+            start_epoch = int(ckpt.get('epoch', -1)) + 1
+        else:
+            loaded = ckpt_lib.load_checkpoint(args.resume, state_template=state)
+            state = loaded['state']
+            start_epoch = int(loaded['epoch']) + 1
+
+    train_step = jax.jit(step_lib.make_train_step(step_cfg, tx), donate_argnums=(0,))
+    eval_step = jax.jit(step_lib.make_eval_step(step_cfg))
+    state = mesh_lib.replicate_tree(state, mesh)
+
+    def checkpoint_fn(epoch):
+        if args.checkpoint_path:
+            host_state = jax.device_get(state)
+            ckpt_lib.save_checkpoint(
+                args.checkpoint_path, epoch, args.name, host_state.params,
+                opt_state=host_state.opt_state, rng=host_state.rng, step=host_state.step,
+                train_args=config_lib.args_to_dict(args), dset_args=dset_args,
+                seeker_args=seeker_args, checkpoint_every=args.checkpoint_every,
+                is_debug=args.is_debug)
+            logger.info(f'Saved checkpoint for epoch {epoch}.')
+
+    if 'ba' in args.name and start_epoch <= 0:
+        checkpoint_fn(-1)  # save-before-any-training runs (train.py:123-125)
+
+    total_steps_all = args.num_epochs * steps_per_epoch
+    with jax.set_mesh(mesh):
+        for epoch in range(start_epoch, args.num_epochs):
+            state = _run_one_epoch(args, logger, mesh, state, train_step, None,
+                                   train_loader, 'train', epoch, steps_per_epoch,
+                                   total_steps_all)
+            checkpoint_fn(epoch)
+            logger.epoch_finished(epoch)
+            if epoch % args.val_every == 0:
+                if args.do_val_aug and val_aug_loader is not None:
+                    _run_one_epoch(args, logger, mesh, state, None, eval_step,
+                                   val_aug_loader, 'val_aug', epoch, steps_per_epoch,
+                                   total_steps_all)
+                if args.do_val_noaug and val_noaug_loader is not None:
+                    _run_one_epoch(args, logger, mesh, state, None, eval_step,
+                                   val_noaug_loader, 'val_noaug', epoch, steps_per_epoch,
+                                   total_steps_all)
+                logger.epoch_finished(epoch)
+    logger.info('Training done.')
+    return state
+
+
+def _run_one_epoch(args, logger, mesh, state, train_step, eval_step, loader, phase, epoch,
+                   steps_per_epoch, total_steps_all):
+    import jax
+    import jax.numpy as jnp
+    logger.info('=' * 32)
+    logger.info(f'Epoch (1-based): {epoch + 1} / {args.num_epochs}  phase: {phase}')
+    loader.set_epoch(epoch)
+    start_time = time.time()
+    num_exceptions = 0
+    is_train = (phase == 'train')
+
+    for cur_step, batch in enumerate(loader):
+        if cur_step == 0:
+            logger.info(f'Enter first data loader iteration took '
+                        f'{time.time() - start_time:.3f}s')
+        total_step = cur_step + steps_per_epoch * epoch
+        progress = total_step / max(total_steps_all, 1)
+        try:
+            device_batch = mesh_lib.shard_batch(batch['device'], mesh)
+            if is_train:
+                state, aux = train_step(state, device_batch, jnp.float32(progress))
+                if float(aux['skipped_nonfinite']) > 0:
+                    logger.warning('Skipping seeker optimizer step due to loss = NaN.')
+            else:
+                aux = eval_step(state.params, device_batch, jnp.float32(progress))
+            scalars = {k: float(aux[k]) for k in
+                       ('total_seeker', 'track', 'occl_mask', 'cont_mask')}
+            msums = jax.device_get(aux['metric_sums'])
+            metrics = metrics_lib.finalize_metric_sums(msums)
+            for k, v in scalars.items():
+                logger.report_scalar(f'{phase}/loss_{k.replace("total_seeker", "total_seeker")}',
+                                     v, remember=True)
+            for k in metrics_lib.METRIC_KEYS:
+                if metrics[f'count_{k}'] > 0:
+                    logger.report_scalar(f'{phase}/{k}', metrics[f'mean_{k}'],
+                                         remember=True, weight=metrics[f'count_{k}'])
+            if cur_step % max(logger.step_interval // 4, 1) == 0:
+                logger.info(f'[{phase}] e{epoch} s{cur_step}/{len(loader)} '
+                            f'total {scalars["total_seeker"]:.4f} '
+                            f'track {scalars["track"]:.4f} '
+                            f'snitch IoU {metrics["mean_snitch_iou"]:.3f}')
+        except Exception as e:
+            num_exceptions += 1
+            if num_exceptions >= 20:
+                raise
+            logger.exception(e)
+            continue
+        if cur_step >= 100 and args.is_debug:
+            logger.warning('Cutting epoch short for debugging...')
+            break
+    logger.commit_scalars(step=epoch)
+    return state

@@ -131,13 +131,33 @@ def make_train_step(cfg: StepConfig, tx: optax.GradientTransformation,
     return train_step
 
 
-def make_eval_step(cfg: StepConfig):
+def make_eval_step(cfg: StepConfig, return_outputs: bool = False):
     '''Returns eval_step(params, batch, progress) -> scalars dict (losses + metric sums);
-    no gradients, no dropout/drop-path.'''
+    no gradients, no dropout/drop-path. With return_outputs, the dict also carries the
+    output/target/query mask arrays for visualization and itemized evaluation.'''
 
     def eval_step(params, batch, progress):
-        _, aux = _loss_and_aux(params, cfg, batch, None, progress, False)
-        return aux
+        if not return_outputs:
+            _, aux = _loss_and_aux(params, cfg, batch, None, progress, False)
+            return aux
+        sup = build_supervision(cfg, batch)
+        out_mask, out_flags = _forward_queries(params, cfg, batch, sup, False, None)
+        sel_occl_fracs = jax.vmap(lambda of, qi: of[qi])(batch['occl_fracs'],
+                                                         batch['query_inds'])
+        loss_retval = losses_lib.compute_losses(
+            cfg.loss, out_mask, sup['target_mask'], sel_occl_fracs,
+            sup['snitch_occl_by_ptr'], batch['query_time'], progress)
+        msums = metrics_lib.mask_track_metric_sums(out_mask, sup['target_mask'])
+        return {
+            'track': loss_retval['track'], 'occl_mask': loss_retval['occl_mask'],
+            'cont_mask': loss_retval['cont_mask'],
+            'total_seeker': loss_retval['total_seeker'],
+            'metric_sums': msums,
+            'output_mask': out_mask, 'output_flags': out_flags,
+            'target_mask': sup['target_mask'],
+            'seeker_query_mask': sup['seeker_query_mask'],
+            'snitch_weights': loss_retval.get('snitch_weights'),
+        }
 
     return eval_step
 

@@ -1,0 +1,294 @@
+'''
+Logging + visualization sink.
+
+Reimplements the surface of /root/reference/utils/logvisgen.py:40-424 and utils/logvis.py:
+18-328 for the TPU build:
+  - console + per-experiment file logging (rich if available);
+  - scalar reporting with per-epoch weighted accumulation (report_scalar(remember=True) /
+    commit_scalars, logvisgen.py:179-224) and optional wandb (gated, absent in this image);
+  - media writers: image, video (webm via VP8 when cv2 supports it, mp4 fallback; async via
+    a thread pool instead of the reference's mp.Process, logvisgen.py:286-301), gallery;
+  - save_pickle (declared but missing in the reference, eval/test.py:53 — implemented here,
+    SURVEY.md section 5.5);
+  - handle_train_step / handle_test_step: per-query overlay videos + console status line
+    (logvis.py:38-328) incl. friendly_short_name construction (the pick_represent join key,
+    logvis.py:62-84).
+'''
+
+import concurrent.futures
+import json
+import logging
+import os
+import pickle
+import sys
+from collections import defaultdict
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from tcow_tpu.utils import visualization
+
+
+def _make_console_logger(log_path: Optional[str], context: str, level: str = 'info'):
+    logger = logging.getLogger(f'tcow_tpu.{context}.{os.getpid()}')
+    logger.setLevel(getattr(logging, level.upper(), logging.INFO))
+    logger.handlers.clear()
+    logger.propagate = False
+    try:
+        from rich.logging import RichHandler
+        handler = RichHandler(show_path=False)
+    except ImportError:
+        handler = logging.StreamHandler(sys.stdout)
+    logger.addHandler(handler)
+    if log_path:
+        os.makedirs(log_path, exist_ok=True)
+        fh = logging.FileHandler(os.path.join(log_path, f'{context}.log'))
+        fh.setFormatter(logging.Formatter('%(asctime)s %(levelname)s %(message)s'))
+        logger.addHandler(fh)
+    return logger
+
+
+class Logger:
+    '''Generic scalar/media logger (logvisgen.py:40-424).'''
+
+    def __init__(self, log_dir: str = '', context: str = 'main', log_level: str = 'info'):
+        self.log_dir = log_dir
+        self.context = context
+        self.vis_dir = os.path.join(log_dir, 'visuals') if log_dir else ''
+        if self.vis_dir:
+            os.makedirs(self.vis_dir, exist_ok=True)
+        self._logger = _make_console_logger(log_dir, context, log_level)
+        self._scalar_memory = defaultdict(list)        # key -> [(value, weight)]
+        self._wandb = None
+        self._pool = concurrent.futures.ThreadPoolExecutor(max_workers=2)
+        self._pending = []
+
+    # ------------------------------------------------------------------ console
+    def info(self, msg: str = ''):
+        self._logger.info(str(msg))
+
+    def debug(self, msg: str = ''):
+        self._logger.debug(str(msg))
+
+    def warning(self, msg: str = ''):
+        self._logger.warning(str(msg))
+
+    def error(self, msg: str = ''):
+        self._logger.error(str(msg))
+
+    def exception(self, e):
+        self._logger.exception(e)
+
+    # ------------------------------------------------------------------ wandb
+    def init_wandb(self, project: str, args, networks=None, name: Optional[str] = None,
+                   group: Optional[str] = None):
+        try:
+            import wandb
+        except ImportError:
+            self.warning('wandb unavailable; online logging disabled.')
+            return
+        self._wandb = wandb
+        wandb.init(project=project, group=group, name=name,
+                   config={k: str(v) for k, v in vars(args).items()})
+
+    # ------------------------------------------------------------------ scalars
+    def report_scalar(self, key: str, value, step: Optional[int] = None,
+                      remember: bool = False, weight: float = 1.0, commit_histogram=False):
+        if value is None:
+            return
+        value = float(value)
+        if remember:
+            self._scalar_memory[key].append((value, float(weight)))
+        else:
+            if self._wandb is not None:
+                self._wandb.log({key: value}, step=step)
+
+    def commit_scalars(self, keys=None, step: Optional[int] = None) -> Dict[str, float]:
+        '''Flushes remembered scalars as weighted means (logvisgen.py:198-224).'''
+        if keys is None:
+            keys = list(self._scalar_memory.keys())
+        out = {}
+        for k in keys:
+            entries = self._scalar_memory.pop(k, [])
+            if not entries:
+                continue
+            values, weights = zip(*entries)
+            total_w = sum(weights)
+            out[k] = float(np.dot(values, weights) / total_w) if total_w > 0 else -1.0
+        if self._wandb is not None and out:
+            self._wandb.log(out, step=step)
+        return out
+
+    def report_single_scalar(self, key: str, value):
+        if self._wandb is not None:
+            self._wandb.run.summary[key] = value
+
+    # ------------------------------------------------------------------ media
+    def save_args(self, args, context: Optional[str] = None):
+        if not self.log_dir:
+            return
+        fp = os.path.join(self.log_dir, f'args_{context or self.context}.txt')
+        with open(fp, 'w') as f:
+            json.dump({k: str(v) for k, v in vars(args).items()}, f, indent=2)
+
+    def save_pickle(self, obj, file_name: str):
+        if not self.log_dir:
+            return None
+        fp = os.path.join(self.log_dir, file_name)
+        os.makedirs(os.path.dirname(fp), exist_ok=True)
+        with open(fp, 'wb') as f:
+            pickle.dump(obj, f)
+        return fp
+
+    def save_image(self, image: np.ndarray, file_name: str):
+        import cv2
+        if not self.vis_dir:
+            return None
+        if image.dtype in (np.float32, np.float64):
+            image = (np.clip(image, 0, 1) * 255).astype(np.uint8)
+        fp = os.path.join(self.vis_dir, file_name)
+        cv2.imwrite(fp, image[..., ::-1] if image.ndim == 3 else image)
+        return fp
+
+    def save_video(self, frames: np.ndarray, file_name: str, fps: int = 12,
+                   asynchronous: bool = True):
+        '''(T, H, W, 3) float or uint8 frames -> webm (VP8) or mp4 under visuals/.'''
+        if not self.vis_dir:
+            return None
+        fp = os.path.join(self.vis_dir, file_name)
+        frames = np.asarray(frames)
+        if frames.dtype in (np.float32, np.float64):
+            frames = (np.clip(frames, 0, 1) * 255).astype(np.uint8)
+        if asynchronous:
+            self._pending.append(self._pool.submit(_write_video, fp, frames, fps))
+        else:
+            fp = _write_video(fp, frames, fps)
+        return fp
+
+    def save_gallery(self, images: np.ndarray, file_name: str, num_cols: int = 4):
+        '''(N, H, W, 3) -> tiled grid image.'''
+        n, h, w = images.shape[:3]
+        rows = -(-n // num_cols)
+        grid = np.zeros((rows * h, num_cols * w, 3), images.dtype)
+        for i in range(n):
+            r, c = divmod(i, num_cols)
+            grid[r * h:(r + 1) * h, c * w:(c + 1) * w] = images[i][..., :3]
+        return self.save_image(grid, file_name)
+
+    def epoch_finished(self, epoch: int):
+        self.commit_scalars(step=epoch)
+        for fut in self._pending:
+            fut.result()
+        self._pending.clear()
+
+
+def _write_video(fp: str, frames: np.ndarray, fps: int) -> str:
+    import cv2
+    T, H, W = frames.shape[:3]
+    root, ext = os.path.splitext(fp)
+    for fourcc, out_fp in ((cv2.VideoWriter_fourcc(*'VP80'), root + '.webm'),
+                           (cv2.VideoWriter_fourcc(*'mp4v'), root + '.mp4')):
+        vw = cv2.VideoWriter(out_fp, fourcc, fps, (W, H))
+        if vw.isOpened():
+            for t in range(T):
+                vw.write(frames[t][..., ::-1])
+            vw.release()
+            return out_fp
+    raise RuntimeError(f'no usable cv2 video codec for {fp}')
+
+
+class MyLogger(Logger):
+    '''Project logger: step handlers + overlay videos (utils/logvis.py:18-328).'''
+
+    def __init__(self, args=None, context: str = 'train', log_dir: Optional[str] = None,
+                 log_level: str = 'info'):
+        if log_dir is None and args is not None:
+            log_dir = getattr(args, 'log_path', '')
+        super().__init__(log_dir or '', context, log_level)
+        if args is not None:
+            is_debug = getattr(args, 'is_debug', False)
+            log_rarely = getattr(args, 'log_rarely', 0)
+            if 'train' in context:
+                self.step_interval = (64 if log_rarely else 16) if not is_debug \
+                    else (16 if log_rarely else 4)
+            else:
+                self.step_interval = (16 if log_rarely else 4) if not is_debug \
+                    else (4 if log_rarely else 1)
+        else:
+            self.step_interval = 8
+
+    @staticmethod
+    def friendly_short_name(data_retval: Dict[str, Any], query_idx: int = 0) -> str:
+        '''The join key used by pick_represent (logvis.py:62-84).'''
+        source_name = data_retval['source_name']
+        if source_name == 'kubric':
+            scene_dn = data_retval.get('scene_dn', f's{data_retval.get("scene_idx", 0)}')
+            return f'{scene_dn}_q{query_idx}'
+        src_path = data_retval.get('src_path', 'video')
+        stem = os.path.splitext(os.path.basename(str(src_path)))[0]
+        fs = int(data_retval.get('frame_start', 0))
+        st = int(data_retval.get('frame_stride', 1))
+        return f'{stem}_i{int(data_retval.get("dset_idx", 0))}_f{fs}_s{st}'
+
+    def handle_train_step(self, epoch: int, phase: str, cur_step: int, total_step: int,
+                          steps_per_epoch: int, data_retval, model_retval, loss_retval,
+                          args=None, commit: bool = False):
+        '''Console loss/IoU status line + occasional overlay videos (logvis.py:38-310).'''
+        total = float(loss_retval.get('total_seeker', -1.0))
+        track = float(loss_retval.get('track', -1.0))
+        miou = loss_retval.get('metrics', {}).get('mean_snitch_iou', -1.0)
+        self.info(f'[{phase}] epoch {epoch}  step {cur_step}/{steps_per_epoch}  '
+                  f'total: {total:.4f}  track: {track:.4f}  snitch IoU: {miou:.3f}')
+        if cur_step % self.step_interval == 0 and model_retval is not None:
+            try:
+                self._save_query_overlays(phase, epoch, cur_step, data_retval, model_retval)
+            except Exception as e:  # visualization must never kill training
+                self.warning(f'overlay rendering failed: {e}')
+
+    def handle_test_step(self, cur_step: int, data_retval, model_retval, loss_retval,
+                         all_args=None):
+        metrics = loss_retval.get('metrics', {})
+        miou = metrics.get('mean_snitch_iou', -1.0)
+        name = self.friendly_short_name(data_retval)
+        self.info(f'[test] step {cur_step}  {name}  snitch IoU: {miou:.3f}')
+        if model_retval is not None:
+            try:
+                self._save_query_overlays('test', 0, cur_step, data_retval, model_retval,
+                                          name_override=name)
+            except Exception as e:
+                self.warning(f'overlay rendering failed: {e}')
+        return name
+
+    def _save_query_overlays(self, phase, epoch, cur_step, data_retval, model_retval,
+                             name_override: Optional[str] = None):
+        import jax
+        to_np = lambda x: np.asarray(x)
+        rgb = to_np(model_retval['seeker_input'])        # (B, 3, T, H, W)
+        out_mask = to_np(model_retval['output_mask'])    # (B, Q, C, T, H, W) or (B, C, T, H, W)
+        qmask = to_np(model_retval['seeker_query_mask'])
+        tmask = to_np(model_retval.get('target_mask', out_mask * 0))
+        if out_mask.ndim == 5:
+            out_mask = out_mask[:, None]
+            qmask = qmask[:, None]
+            tmask = tmask[:, None]
+        B, Q = out_mask.shape[:2]
+        b = 0
+        for q in range(min(Q, 2)):
+            rgb_t = rgb[b].transpose(1, 2, 3, 0)         # (T, H, W, 3)
+            om = 1.0 / (1.0 + np.exp(-out_mask[b, q]))   # sigmoid logits
+            qm = qmask[b, q, 0] if qmask.ndim == 6 else qmask[b, 0]
+            tm = np.clip(tmask[b, q] if tmask.ndim == 6 else tmask[b], 0, 1)
+            query_border = visualization.draw_segm_borders(qm[..., None], False)
+            snitch_border = visualization.draw_segm_borders(
+                (tm[0] > 0.5)[..., None], False)
+            front_border = visualization.draw_segm_borders(
+                (tm[1] > 0.5)[..., None], False) if tm.shape[0] >= 2 else \
+                np.zeros_like(snitch_border)
+            outer_border = visualization.draw_segm_borders(
+                (tm[2] > 0.5)[..., None], False) if tm.shape[0] >= 3 else \
+                np.zeros_like(snitch_border)
+            vid = visualization.create_model_output_snitch_occl_cont_video(
+                rgb_t, om, query_border, snitch_border, front_border, outer_border,
+                grayscale=False)
+            name = name_override or f'e{epoch}_p{phase}_s{cur_step}'
+            self.save_video(vid, f'{name}_q{q}_out.webm', fps=6)
