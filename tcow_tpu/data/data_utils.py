@@ -17,6 +17,15 @@ import numpy as np
 from tcow_tpu.data import geometry
 
 
+def _occl_fracs_from_counts(vis_cnt, tot_cnt, Hf, Wf) -> np.ndarray:
+    vis_cnt = vis_cnt.astype(np.float64)
+    tot_cnt = tot_cnt.astype(np.float64)
+    with np.errstate(divide='ignore', invalid='ignore'):
+        f = np.where(tot_cnt > 0, 1.0 - vis_cnt / np.maximum(tot_cnt, 1), 0.0)
+    out = np.stack([f, vis_cnt / (Hf * Wf), tot_cnt / (Hf * Wf)], axis=-1)  # (T, K, 3)
+    return out.transpose(1, 0, 2).astype(np.float32)                        # (K, T, 3)
+
+
 def get_thing_occl_fracs(pv_segm: np.ndarray, pv_div_segm: np.ndarray) -> np.ndarray:
     '''Soft occlusion statistics per instance per frame (data_utils.py:57-92).
 
@@ -26,13 +35,15 @@ def get_thing_occl_fracs(pv_segm: np.ndarray, pv_div_segm: np.ndarray) -> np.nda
         f = occlusion fraction, v = visible pixels / image size, t = total pixels / size.
     '''
     T, Hf, Wf, K = pv_div_segm.shape
+    from tcow_tpu import native
+    stats = native.scene_overlap_stats(pv_segm[..., 0], pv_div_segm)
+    if stats is not None:
+        vis_cnt, tot_cnt, _, _ = stats
+        return _occl_fracs_from_counts(vis_cnt, tot_cnt, Hf, Wf)
     ids = np.arange(1, K + 1).reshape(1, K)
-    vis_cnt = (pv_segm.reshape(T, -1, 1) == ids[None]).sum(axis=1).astype(np.float64)  # (T, K)
-    tot_cnt = (pv_div_segm.reshape(T, -1, K) == 1).sum(axis=1).astype(np.float64)      # (T, K)
-    with np.errstate(divide='ignore', invalid='ignore'):
-        f = np.where(tot_cnt > 0, 1.0 - vis_cnt / np.maximum(tot_cnt, 1), 0.0)
-    out = np.stack([f, vis_cnt / (Hf * Wf), tot_cnt / (Hf * Wf)], axis=-1)  # (T, K, 3)
-    return out.transpose(1, 0, 2).astype(np.float32)                        # (K, T, 3)
+    vis_cnt = (pv_segm.reshape(T, -1, 1) == ids[None]).sum(axis=1)          # (T, K)
+    tot_cnt = (pv_div_segm.reshape(T, -1, K) == 1).sum(axis=1)              # (T, K)
+    return _occl_fracs_from_counts(vis_cnt, tot_cnt, Hf, Wf)
 
 
 def get_thing_occl_cont_dag(pv_segm: np.ndarray, pv_div_segm: np.ndarray, metadata: Dict,
@@ -48,19 +59,26 @@ def get_thing_occl_cont_dag(pv_segm: np.ndarray, pv_div_segm: np.ndarray, metada
         back-to-front, recon_pv_segm (T, Hf, Wf, 1) int32, recon_error float).
     '''
     T, Hf, Wf, K = pv_div_segm.shape
-    div = (pv_div_segm == 1)
-    div_flat = div.reshape(T, Hf * Wf, K).astype(np.float32)
-    ids = np.arange(1, K + 1)
-    vis = (pv_segm.reshape(T, Hf * Wf, 1) == ids.reshape(1, 1, K)).astype(np.float32)
-
-    div_cnt = div_flat.sum(axis=1)                                     # (T, K)
-    # Pairwise overlap counts: amodal x amodal, and amodal x visible.
-    overlap_dd = np.einsum('tpk,tpl->tkl', div_flat, div_flat)         # (T, K, K)
-    overlap_dv = np.einsum('tpk,tpl->tkl', div_flat, vis)              # (T, K, K)
+    from tcow_tpu import native
+    stats = native.scene_overlap_stats(pv_segm[..., 0], pv_div_segm)
+    if stats is not None:
+        _, div_cnt, overlap_dd, overlap_dv = stats
+        div_cnt = div_cnt.astype(np.float32)
+        overlap_dd = overlap_dd.astype(np.float32)
+        overlap_dv = overlap_dv.astype(np.float32)
+        div = (pv_div_segm == 1)
+    else:
+        div = (pv_div_segm == 1)
+        div_flat = div.reshape(T, Hf * Wf, K).astype(np.float32)
+        ids = np.arange(1, K + 1)
+        vis = (pv_segm.reshape(T, Hf * Wf, 1) == ids.reshape(1, 1, K)).astype(np.float32)
+        div_cnt = div_flat.sum(axis=1)                                 # (T, K)
+        # Pairwise overlap counts: amodal x amodal, and amodal x visible.
+        overlap_dd = np.einsum('tpk,tpl->tkl', div_flat, div_flat)     # (T, K, K)
+        overlap_dv = np.einsum('tpk,tpl->tkl', div_flat, vis)          # (T, K, K)
 
     oc_dag = np.zeros((T, K, K, 3), np.float32)
     rel_order = np.zeros((T, K), np.int32)
-    recon = np.zeros((T, Hf, Wf), np.int32)
 
     cam_pos = np.asarray(metadata['camera']['positions'])              # (Tsrc, 3)
     inst_pos = np.asarray([metadata['instances'][k]['positions'] for k in range(K)])
@@ -68,13 +86,17 @@ def get_thing_occl_cont_dag(pv_segm: np.ndarray, pv_div_segm: np.ndarray, metada
 
     for f, t in enumerate(frame_inds):
         dist = np.linalg.norm(cam_pos[t][None] - inst_pos[:, t], axis=-1)  # (K,)
-        cur_order = np.argsort(dist)[::-1]                                 # back to front
-        rel_order[f] = cur_order
+        rel_order[f] = np.argsort(dist)[::-1]                              # back to front
 
-        # Reconstructed visible segm: paint far-to-near (data_utils.py:180).
-        for ref in cur_order:
-            recon[f][div[f, :, :, ref]] = ref + 1
+    recon = native.paint_recon_segm(pv_div_segm, rel_order)
+    if recon is None:
+        recon = np.zeros((T, Hf, Wf), np.int32)
+        for f in range(T):
+            for ref in rel_order[f]:
+                recon[f][div[f, :, :, ref]] = ref + 1
 
+    for f, t in enumerate(frame_inds):
+        cur_order = rel_order[f]
         ref_pxl = np.maximum(div_cnt[f], 1.0)                          # (K,)
 
         # c: containment fraction, all ordered pairs (ref, cand), cand != ref.
