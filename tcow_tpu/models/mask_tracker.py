@@ -47,6 +47,7 @@ class SeekerConfig:
     pretrained: bool = False  # controls input RGB normalization (vision_tf.py:81-89)
     compute_dtype: Any = jnp.float32
     remat: bool = False  # per-block rematerialization in the backbone
+    remat_policy: str = 'full'  # 'full' | 'dots'
     batch_axis: Any = None  # mesh axis names for DP / sequence parallelism (see
     seq_axis: Any = None    # timesformer.TimeSformerConfig)
 
@@ -64,7 +65,8 @@ class SeekerConfig:
             attention_type=self.attention_type, causal_attention=self.causal_attention,
             norm_embeddings=self.norm_embeddings, drop_path_rate=self.drop_path_rate,
             normalize_inputs=self.pretrained, compute_dtype=self.compute_dtype,
-            remat=self.remat, batch_axis=self.batch_axis, seq_axis=self.seq_axis)
+            remat=self.remat, remat_policy=self.remat_policy,
+            batch_axis=self.batch_axis, seq_axis=self.seq_axis)
 
 
 def seeker_config_from_args(seeker_args: Dict[str, Any], **overrides) -> SeekerConfig:

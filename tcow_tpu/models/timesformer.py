@@ -59,6 +59,8 @@ class TimeSformerConfig:
     ln_eps: float = 1e-6
     compute_dtype: Any = jnp.float32  # jnp.bfloat16 for speed on TPU
     remat: bool = False  # rematerialize each block in the backward pass (saves HBM)
+    remat_policy: str = 'full'  # 'full' | 'dots' (save matmul outputs, recompute the rest)
+    use_pallas_attention: bool = False  # fused VMEM-resident attention kernels (TPU only)
     # Sequence parallelism (Ulysses-style for divided attention, SURVEY.md section 5.7):
     # when seq_axis names a mesh axis (caller must be under jax.set_mesh of an Auto-axes
     # mesh), the patch axis is sharded over it during temporal attention and the frame axis
@@ -170,7 +172,7 @@ def _dense(x, p):
     return jnp.einsum('...d,de->...e', x, p['w'].astype(x.dtype)) + p['b'].astype(x.dtype)
 
 
-def attention(p, x, num_heads: int, causal_attention: int = 0):
+def attention(p, x, num_heads: int, causal_attention: int = 0, use_pallas: bool = False):
     '''Multi-head self-attention over the second-to-last axis.
 
     Mirrors reference `Attention.forward` (vit.py:78-123): qkv projection with bias, scale
@@ -178,10 +180,20 @@ def attention(p, x, num_heads: int, causal_attention: int = 0):
     (diagonal = 0 for causal_attention in {1,2}, causal_attention-2 for >=3), softmax, output
     projection.
 
+    With use_pallas (TPU), the whole call runs as one fused VMEM-resident kernel
+    (tcow_tpu.ops.pallas_attention).
+
     :param x (..., S, D).
     :return (..., S, D).
     '''
     *lead, S, D = x.shape
+    if use_pallas:
+        from tcow_tpu.ops import pallas_attention as pa
+        flat = x.reshape(-1, S, D)
+        out = pa.fused_attention(flat, p['qkv']['w'], p['qkv']['b'],
+                                 p['proj']['w'], p['proj']['b'],
+                                 num_heads, causal_attention)
+        return out.reshape(*lead, S, D)
     dh = D // num_heads
     scale = dh ** -0.5
     qkv = _dense(x, p['qkv'])                                   # (..., S, 3D)
@@ -277,7 +289,8 @@ def _divided_block(p, xs, cls, cfg: TimeSformerConfig, dpr, rngs):
     # --- Temporal attention over T per patch location (vit.py:168-176).
     xs = _seq_constrain(xs, cfg)  # shard patches; temporal attention is local per patch
     y = layer_norm(xs, p['temporal_norm1'], cfg.ln_eps)
-    res_t = attention(p['temporal_attn'], y, nh, causal_attention=ca)
+    res_t = attention(p['temporal_attn'], y, nh, causal_attention=ca,
+                      use_pallas=cfg.use_pallas_attention)
     res_t = drop_path(res_t, dpr, r('t'), row_ndim=2)  # independent mask per (b, n)
     res_t = _dense(res_t, p['temporal_fc'])
     xt = xs + res_t
@@ -288,7 +301,8 @@ def _divided_block(p, xs, cls, cfg: TimeSformerConfig, dpr, rngs):
     if ca in (0, 1):
         cls_rep = jnp.broadcast_to(cls[:, None, None, :], (B, T, 1, D))
         seq = jnp.concatenate([cls_rep, xsp], axis=2)  # (B, T, N+1, D)
-        res_sp = attention(p['attn'], layer_norm(seq, p['norm1'], cfg.ln_eps), nh)
+        res_sp = attention(p['attn'], layer_norm(seq, p['norm1'], cfg.ln_eps), nh,
+                           use_pallas=cfg.use_pallas_attention)
         res_sp = drop_path(res_sp, dpr, r('s'), row_ndim=2)  # mask per (b, t)
         cls_out = res_sp[:, :, 0, :]  # (B, T, D)
         if ca == 0:
@@ -298,7 +312,8 @@ def _divided_block(p, xs, cls, cfg: TimeSformerConfig, dpr, rngs):
             cls_new = cls_out[:, 0, :]  # copy frame-0 cls (vit.py:197-198)
         res_sp = jnp.swapaxes(res_sp[:, :, 1:, :], 1, 2)  # (B, N, T, D)
     else:  # ca >= 2 or ca == -1: no cls token in spatial attention (vit.py:202-208).
-        res_sp = attention(p['attn'], layer_norm(xsp, p['norm1'], cfg.ln_eps), nh)
+        res_sp = attention(p['attn'], layer_norm(xsp, p['norm1'], cfg.ln_eps), nh,
+                           use_pallas=cfg.use_pallas_attention)
         res_sp = drop_path(res_sp, dpr, r('s'), row_ndim=2)
         cls_new = jnp.zeros_like(cls)
         res_sp = jnp.swapaxes(res_sp, 1, 2)
@@ -321,7 +336,8 @@ def _joint_block(p, xs, cls, cfg: TimeSformerConfig, dpr, rngs):
     B, N, T, D = xs.shape
     r = (lambda name: rngs[name]) if rngs is not None else (lambda name: None)
     flat = jnp.concatenate([cls[:, None, :], xs.reshape(B, N * T, D)], axis=1)
-    res = attention(p['attn'], layer_norm(flat, p['norm1'], cfg.ln_eps), cfg.num_heads)
+    res = attention(p['attn'], layer_norm(flat, p['norm1'], cfg.ln_eps), cfg.num_heads,
+                    use_pallas=cfg.use_pallas_attention)
     flat = flat + drop_path(res, dpr, r('s'), row_ndim=1)
     flat = flat + drop_path(mlp(p['mlp'], layer_norm(flat, p['norm2'], cfg.ln_eps)),
                             dpr, r('m'), row_ndim=1)
@@ -393,8 +409,14 @@ def forward(params: Dict[str, Any], cfg: TimeSformerConfig, pixels: jnp.ndarray,
     if cfg.remat:
         # Per-block rematerialization: the scan carries are kept, block internals are
         # recomputed during the backward pass (the TPU substitute for the reference's
-        # 38 GB activation footprint, README.md:49).
-        body = jax.checkpoint(body, prevent_cse=False)
+        # 38 GB activation footprint, README.md:49). The 'dots' policy keeps matmul
+        # outputs resident and only recomputes elementwise work (cheaper backward, more
+        # HBM).
+        policy = {'full': None,
+                  'dots': jax.checkpoint_policies.dots_saveable,
+                  'dots_nb': jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                  }[cfg.remat_policy]
+        body = jax.checkpoint(body, prevent_cse=False, policy=policy)
 
     (xs, cls), _ = jax.lax.scan(body, (xs, cls), (params['blocks'], dprs, block_rngs))
 

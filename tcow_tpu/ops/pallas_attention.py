@@ -1,0 +1,159 @@
+'''
+Fused multi-head self-attention as a Pallas TPU kernel.
+
+One kernel per transformer-attention call fuses QKV projection -> scaled scores -> (causal)
+masked softmax -> PV -> output projection, keeping every intermediate in VMEM. The divided
+space-time stack runs attention over many SHORT sequences (T=30 temporal, N+1=301 spatial at
+the config of record, SURVEY.md section 2.2), so a grid step processes a *group* of whole
+sequences and the projection weights stay resident across the grid.
+
+The causal variant reproduces the reference semantics exactly (tril mask, diagonal =
+causal_attention - 2 for >= 3, pre-softmax fill -1e10; vit.py:88-101).
+
+Backward: jax.custom_vjp whose bwd differentiates the numerically identical XLA
+implementation (recompute-style, matching the per-block rematerialization policy used in
+training).
+'''
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def attention_ref(x, qkv_w, qkv_b, proj_w, proj_b, num_heads: int, causal_attention: int):
+    '''Reference XLA implementation over (B, S, D); the kernel must match this exactly.'''
+    B, S, D = x.shape
+    dh = D // num_heads
+    scale = dh ** -0.5
+    qkv = jnp.einsum('bsd,de->bse', x, qkv_w.astype(x.dtype)) + qkv_b.astype(x.dtype)
+    qkv = qkv.reshape(B, S, 3, num_heads, dh)
+    q = jnp.moveaxis(qkv[:, :, 0], 2, 1)
+    k = jnp.moveaxis(qkv[:, :, 1], 2, 1)
+    v = jnp.moveaxis(qkv[:, :, 2], 2, 1)
+    logits = jnp.einsum('bhqd,bhkd->bhqk', q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if causal_attention > 0:
+        diag = 0 if causal_attention <= 2 else causal_attention - 2
+        mask = jnp.tril(jnp.ones((S, S), bool), k=diag)
+        logits = jnp.where(mask, logits, jnp.float32(-1e10))
+    probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+    out = jnp.einsum('bhqk,bhkd->bhqd', probs, v)
+    out = jnp.moveaxis(out, 1, 2).reshape(B, S, D)
+    return jnp.einsum('bsd,de->bse', out, proj_w.astype(x.dtype)) + proj_b.astype(x.dtype)
+
+
+def _kernel(x_ref, qkv_w_ref, qkv_b_ref, proj_w_ref, proj_b_ref, out_ref, *,
+            num_heads: int, causal_attention: int, seq_len: int):
+    '''Grid cell: a group of G whole sequences. Shapes (G, S_pad, D) in VMEM.'''
+    G, S, D = x_ref.shape
+    dh = D // num_heads
+    scale = dh ** -0.5
+    x = x_ref[:]
+    qkv = jax.lax.dot_general(x, qkv_w_ref[:].astype(x.dtype),
+                              (((2,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    qkv = (qkv + qkv_b_ref[:].astype(jnp.float32)).astype(x.dtype)    # (G, S, 3D)
+
+    # Key-side validity + optional causal mask (static: seq_len is compile-time).
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+    mask = col_ids < seq_len
+    if causal_attention > 0:
+        diag = 0 if causal_attention <= 2 else causal_attention - 2
+        mask = jnp.logical_and(mask, col_ids <= row_ids + diag)
+
+    outs = []
+    for h in range(num_heads):
+        q = qkv[:, :, h * dh:(h + 1) * dh]
+        k = qkv[:, :, D + h * dh:D + (h + 1) * dh]
+        v = qkv[:, :, 2 * D + h * dh:2 * D + (h + 1) * dh]
+        logits = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                                     preferred_element_type=jnp.float32) * scale
+        logits = jnp.where(mask[None], logits, jnp.float32(-1e10))
+        probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)       # (G, S, S)
+        outs.append(jax.lax.dot_general(probs, v, (((2,), (1,)), ((0,), (0,))),
+                                        preferred_element_type=jnp.float32)
+                    .astype(x.dtype))
+    attn = jnp.concatenate(outs, axis=-1)                              # (G, S, D)
+    out = jax.lax.dot_general(attn, proj_w_ref[:].astype(x.dtype),
+                              (((2,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    out_ref[:] = (out + proj_b_ref[:].astype(jnp.float32)).astype(x.dtype)
+
+
+def _pick_group(S_pad: int, D: int, dtype_bytes: int) -> int:
+    '''Choose sequences per grid step under a ~10 MB VMEM budget (weights ~4D^2 bytes +
+    activations ~ G * S_pad * 9D bytes + f32 scores G * S_pad^2 * 4).'''
+    budget = 10 * 1024 * 1024 - 4 * D * D * dtype_bytes
+    per_seq = S_pad * 9 * D * dtype_bytes + S_pad * S_pad * 8
+    g = max(1, budget // max(per_seq, 1))
+    # Keep G a power of two <= 64 for clean grids.
+    p = 1
+    while p * 2 <= min(g, 64):
+        p *= 2
+    return p
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def fused_attention(x, qkv_w, qkv_b, proj_w, proj_b, num_heads: int,
+                    causal_attention: int):
+    '''Fused attention over (B, S, D); differentiable (bwd via the XLA reference).'''
+    return _fused_attention_fwd_impl(x, qkv_w, qkv_b, proj_w, proj_b, num_heads,
+                                     causal_attention)
+
+
+def _fused_attention_fwd_impl(x, qkv_w, qkv_b, proj_w, proj_b, num_heads,
+                              causal_attention, interpret: bool = False):
+    B, S, D = x.shape
+    sublane = 16 if x.dtype == jnp.bfloat16 else 8
+    S_pad = _round_up(S, sublane)
+    G = _pick_group(S_pad, D, np.dtype(x.dtype).itemsize)
+    B_pad = _round_up(B, G)
+    xp = x
+    if S_pad != S or B_pad != B:
+        xp = jnp.pad(x, ((0, B_pad - B), (0, S_pad - S), (0, 0)))
+
+    kernel = functools.partial(_kernel, num_heads=num_heads,
+                               causal_attention=causal_attention, seq_len=S)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B_pad, S_pad, D), x.dtype),
+        grid=(B_pad // G,),
+        in_specs=[
+            pl.BlockSpec((G, S_pad, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, 3 * D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * D,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D,), lambda i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((G, S_pad, D), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(xp, qkv_w, qkv_b, proj_w, proj_b)
+    return out[:B, :S]
+
+
+def _fwd(x, qkv_w, qkv_b, proj_w, proj_b, num_heads, causal_attention):
+    out = _fused_attention_fwd_impl(x, qkv_w, qkv_b, proj_w, proj_b, num_heads,
+                                    causal_attention)
+    return out, (x, qkv_w, qkv_b, proj_w, proj_b)
+
+
+def _bwd(num_heads, causal_attention, residuals, g):
+    x, qkv_w, qkv_b, proj_w, proj_b = residuals
+    _, vjp = jax.vjp(
+        lambda *args: attention_ref(*args, num_heads, causal_attention),
+        x, qkv_w, qkv_b, proj_w, proj_b)
+    return vjp(g)
+
+
+fused_attention.defvjp(_fwd, _bwd)

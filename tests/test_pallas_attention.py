@@ -1,0 +1,71 @@
+'''
+Fused Pallas attention: numerical equivalence with the XLA reference (interpret mode on
+CPU), causal masking, padding handling, and custom-VJP gradients.
+'''
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+import conftest  # noqa: F401
+from tcow_tpu.ops import pallas_attention as pa
+
+
+def make_inputs(B=5, S=13, D=32, seed=0, dtype=jnp.float32):
+    rng = np.random.RandomState(seed)
+    x = jnp.asarray(rng.randn(B, S, D), dtype) * 0.5
+    qkv_w = jnp.asarray(rng.randn(D, 3 * D) * 0.05, jnp.float32)
+    qkv_b = jnp.asarray(rng.randn(3 * D) * 0.01, jnp.float32)
+    proj_w = jnp.asarray(rng.randn(D, D) * 0.05, jnp.float32)
+    proj_b = jnp.asarray(rng.randn(D) * 0.01, jnp.float32)
+    return x, qkv_w, qkv_b, proj_w, proj_b
+
+
+@pytest.mark.parametrize('ca', [0, 1, 3])
+@pytest.mark.parametrize('S', [13, 16, 30])
+def test_fused_matches_reference(ca, S):
+    args = make_inputs(S=S)
+    want = pa.attention_ref(*args, num_heads=4, causal_attention=ca)
+    got = pa._fused_attention_fwd_impl(*args, 4, ca, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5)
+
+
+def test_fused_matches_model_attention():
+    from tcow_tpu.models import timesformer as tsf
+    args = make_inputs(B=3, S=10, D=32)
+    x = args[0]
+    p = {'qkv': {'w': args[1], 'b': args[2]}, 'proj': {'w': args[3], 'b': args[4]}}
+    want = tsf.attention(p, x, 4, causal_attention=1)
+    got = pa._fused_attention_fwd_impl(*args, 4, 1, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5)
+
+
+def test_custom_vjp_gradients_match_reference():
+    args = make_inputs(B=2, S=8, D=16)
+
+    def loss_fused(*a):
+        # interpret-mode forward with the real custom-vjp wiring
+        out = pa.fused_attention(*a, 2, 1)
+        return jnp.sum(out ** 2)
+
+    def loss_ref(*a):
+        return jnp.sum(pa.attention_ref(*a, 2, 1) ** 2)
+
+    # Run fused path in interpret mode by monkeypatching the impl flag.
+    import functools
+    orig = pa._fused_attention_fwd_impl
+    pa._fused_attention_fwd_impl = functools.partial(orig, interpret=True)
+    try:
+        g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(*args)
+    finally:
+        pa._fused_attention_fwd_impl = orig
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(*args)
+    for a, b in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5)
+
+
+def test_group_picker_sane():
+    assert pa._pick_group(32, 768, 2) >= 4
+    assert pa._pick_group(304, 768, 2) >= 1
+    assert pa._pick_group(32, 768, 2) <= 64
