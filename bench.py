@@ -62,6 +62,23 @@ def main():
     print(f'[bench] step_time={step_time * 1e3:.1f}ms  '
           f'clips/sec/chip={clips_per_sec:.3f}', file=sys.stderr)
 
+    # Secondary: inference throughput with fused pallas attention (stderr only).
+    import dataclasses
+    icfg = dataclasses.replace(seeker, drop_path_rate=0.0, remat=False,
+                               use_pallas_attention=True)
+    from tcow_tpu.models import mask_tracker
+    infer = jax.jit(lambda p, r, q: mask_tracker.forward(p, icfg, r, q)[0])
+    rgb1 = batch['rgb']
+    q1 = jnp.zeros((B, 1, T, H, W), jnp.float32)
+    out = infer(state.params, rgb1, q1)
+    float(out.astype(jnp.float32).sum())
+    t0 = time.time()
+    for _ in range(10):
+        out = infer(state.params, rgb1, q1)
+    float(out.astype(jnp.float32).sum())
+    print(f'[bench] inference clips/sec/chip={10 * B / (time.time() - t0):.2f}',
+          file=sys.stderr)
+
     print(json.dumps({
         'metric': 'train_clips_per_sec_per_chip_T30_240x320_Q3',
         'value': round(clips_per_sec, 4),

@@ -49,9 +49,13 @@ def load_networks(checkpoint_path: str, logger, epoch: int = -1, compute_dtype=N
         dset_args = loaded['dset_args']
         cfg = seeker_config_from_args(seeker_args)
         epoch = int(loaded['epoch'])
+    import dataclasses
     if compute_dtype is not None:
-        import dataclasses
         cfg = dataclasses.replace(cfg, compute_dtype=compute_dtype)
+    import jax
+    if jax.default_backend() == 'tpu':
+        # Fused attention kernels: ~1.4x inference throughput on v5e.
+        cfg = dataclasses.replace(cfg, use_pallas_attention=True)
     print_fn('=> Loaded epoch (1-based): ' + str(epoch + 1))
     return params, cfg, train_args, dset_args, seeker_args, epoch
 

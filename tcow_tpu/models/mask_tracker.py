@@ -47,7 +47,8 @@ class SeekerConfig:
     pretrained: bool = False  # controls input RGB normalization (vision_tf.py:81-89)
     compute_dtype: Any = jnp.float32
     remat: bool = False  # per-block rematerialization in the backbone
-    remat_policy: str = 'full'  # 'full' | 'dots'
+    remat_policy: str = 'full'  # 'full' | 'dots' | 'dots_nb'
+    use_pallas_attention: bool = False  # fused attention kernels (TPU; best for inference)
     batch_axis: Any = None  # mesh axis names for DP / sequence parallelism (see
     seq_axis: Any = None    # timesformer.TimeSformerConfig)
 
@@ -66,6 +67,7 @@ class SeekerConfig:
             norm_embeddings=self.norm_embeddings, drop_path_rate=self.drop_path_rate,
             normalize_inputs=self.pretrained, compute_dtype=self.compute_dtype,
             remat=self.remat, remat_policy=self.remat_policy,
+            use_pallas_attention=self.use_pallas_attention,
             batch_axis=self.batch_axis, seq_axis=self.seq_axis)
 
 

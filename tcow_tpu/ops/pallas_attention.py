@@ -52,42 +52,54 @@ def attention_ref(x, qkv_w, qkv_b, proj_w, proj_b, num_heads: int, causal_attent
 
 
 def _kernel(x_ref, qkv_w_ref, qkv_b_ref, proj_w_ref, proj_b_ref, out_ref, *,
-            num_heads: int, causal_attention: int, seq_len: int):
-    '''Grid cell: a group of G whole sequences. Shapes (G, S_pad, D) in VMEM.'''
+            num_heads: int, causal_attention: int, seq_len: int, pack: int):
+    '''Grid cell: a group of G whole sequences. Shapes (G, S_pad, D) in VMEM.
+
+    `pack` sequences share one score matmul with a block-diagonal mask: short sequences
+    (the temporal axis, S_pad = 32) would otherwise run 30x64x30 matmuls that waste almost
+    the entire 128-wide MXU tile; packing 4 makes them 128x64x128.'''
     G, S, D = x_ref.shape
     dh = D // num_heads
     scale = dh ** -0.5
-    x = x_ref[:]
+    # One big (G*S, D) @ (D, 3D) GEMM: keep M large so the MXU tiles stay full.
+    x = x_ref[:].reshape(G * S, D)
     qkv = jax.lax.dot_general(x, qkv_w_ref[:].astype(x.dtype),
-                              (((2,), (0,)), ((), ())),
+                              (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
-    qkv = (qkv + qkv_b_ref[:].astype(jnp.float32)).astype(x.dtype)    # (G, S, 3D)
+    qkv = (qkv + qkv_b_ref[:].astype(jnp.float32)).astype(x.dtype)
+    qkv = qkv.reshape(G, S, 3 * D)
 
-    # Key-side validity + optional causal mask (static: seq_len is compile-time).
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
-    mask = col_ids < seq_len
+    P = pack
+    SP = S * P
+    # Mask over the packed (SP, SP) score tile: same-sequence block + key validity +
+    # optional causal (static: seq_len is compile-time).
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (SP, SP), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (SP, SP), 1)
+    mask = (row_ids // S) == (col_ids // S)                      # block diagonal
+    mask = jnp.logical_and(mask, (col_ids % S) < seq_len)        # key validity
     if causal_attention > 0:
         diag = 0 if causal_attention <= 2 else causal_attention - 2
-        mask = jnp.logical_and(mask, col_ids <= row_ids + diag)
+        mask = jnp.logical_and(mask, (col_ids % S) <= (row_ids % S) + diag)
 
+    qkv_p = qkv.reshape(G // P, SP, 3 * D)
     outs = []
     for h in range(num_heads):
-        q = qkv[:, :, h * dh:(h + 1) * dh]
-        k = qkv[:, :, D + h * dh:D + (h + 1) * dh]
-        v = qkv[:, :, 2 * D + h * dh:2 * D + (h + 1) * dh]
+        q = qkv_p[:, :, h * dh:(h + 1) * dh]
+        k = qkv_p[:, :, D + h * dh:D + (h + 1) * dh]
+        v = qkv_p[:, :, 2 * D + h * dh:2 * D + (h + 1) * dh]
         logits = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
                                      preferred_element_type=jnp.float32) * scale
         logits = jnp.where(mask[None], logits, jnp.float32(-1e10))
-        probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)       # (G, S, S)
+        probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)       # (G/P, SP, SP)
         outs.append(jax.lax.dot_general(probs, v, (((2,), (1,)), ((0,), (0,))),
                                         preferred_element_type=jnp.float32)
                     .astype(x.dtype))
-    attn = jnp.concatenate(outs, axis=-1)                              # (G, S, D)
+    attn = jnp.concatenate(outs, axis=-1).reshape(G * S, D)
     out = jax.lax.dot_general(attn, proj_w_ref[:].astype(x.dtype),
-                              (((2,), (0,)), ((), ())),
+                              (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
-    out_ref[:] = (out + proj_b_ref[:].astype(jnp.float32)).astype(x.dtype)
+    out = (out + proj_b_ref[:].astype(jnp.float32)).astype(x.dtype)
+    out_ref[:] = out.reshape(G, S, D)
 
 
 def _pick_group(S_pad: int, D: int, dtype_bytes: int) -> int:
@@ -116,14 +128,17 @@ def _fused_attention_fwd_impl(x, qkv_w, qkv_b, proj_w, proj_b, num_heads,
     B, S, D = x.shape
     sublane = 16 if x.dtype == jnp.bfloat16 else 8
     S_pad = _round_up(S, sublane)
+    # Pack short sequences so score matmuls reach a 128-row MXU tile.
+    pack = max(1, min(128 // S_pad, 8))
     G = _pick_group(S_pad, D, np.dtype(x.dtype).itemsize)
+    G = max(pack, (G // pack) * pack)
     B_pad = _round_up(B, G)
     xp = x
     if S_pad != S or B_pad != B:
         xp = jnp.pad(x, ((0, B_pad - B), (0, S_pad - S), (0, 0)))
 
     kernel = functools.partial(_kernel, num_heads=num_heads,
-                               causal_attention=causal_attention, seq_len=S)
+                               causal_attention=causal_attention, seq_len=S, pack=pack)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B_pad, S_pad, D), x.dtype),
