@@ -51,7 +51,8 @@ def attention_ref(x, qkv_w, qkv_b, proj_w, proj_b, num_heads: int, causal_attent
     return jnp.einsum('bsd,de->bse', out, proj_w.astype(x.dtype)) + proj_b.astype(x.dtype)
 
 
-def _kernel(x_ref, qkv_w_ref, qkv_b_ref, proj_w_ref, proj_b_ref, out_ref, *,
+def _kernel(x_ref, qkv_w_ref, qkv_b_ref, proj_w_ref, proj_b_ref, out_ref, qkv_out_ref,
+            probs_out_ref, attn_out_ref, *,
             num_heads: int, causal_attention: int, seq_len: int, pack: int):
     '''Grid cell: a group of G whole sequences. Shapes (G, S_pad, D) in VMEM.
 
@@ -91,6 +92,7 @@ def _kernel(x_ref, qkv_w_ref, qkv_b_ref, proj_w_ref, proj_b_ref, out_ref, *,
                                      preferred_element_type=jnp.float32) * scale
         logits = jnp.where(mask[None], logits, jnp.float32(-1e10))
         probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)       # (G/P, SP, SP)
+        probs_out_ref[:, h] = probs
         outs.append(jax.lax.dot_general(probs, v, (((2,), (1,)), ((0,), (0,))),
                                         preferred_element_type=jnp.float32)
                     .astype(x.dtype))
@@ -100,6 +102,8 @@ def _kernel(x_ref, qkv_w_ref, qkv_b_ref, proj_w_ref, proj_b_ref, out_ref, *,
                               preferred_element_type=jnp.float32)
     out = (out + proj_b_ref[:].astype(jnp.float32)).astype(x.dtype)
     out_ref[:] = out.reshape(G, S, D)
+    qkv_out_ref[:] = qkv
+    attn_out_ref[:] = attn.reshape(G, S, D)
 
 
 def _pick_group(S_pad: int, D: int, dtype_bytes: int) -> int:
@@ -118,13 +122,15 @@ def _pick_group(S_pad: int, D: int, dtype_bytes: int) -> int:
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
 def fused_attention(x, qkv_w, qkv_b, proj_w, proj_b, num_heads: int,
                     causal_attention: int):
-    '''Fused attention over (B, S, D); differentiable (bwd via the XLA reference).'''
+    '''Fused attention over (B, S, D); differentiable. The forward kernel exports its
+    residuals (qkv, packed probs, pre-projection attn) so the backward is explicit matmul
+    math with NO forward recompute — under per-block remat the residuals are transient
+    (one block alive at a time).'''
     return _fused_attention_fwd_impl(x, qkv_w, qkv_b, proj_w, proj_b, num_heads,
-                                     causal_attention)
+                                     causal_attention)[0]
 
 
-def _fused_attention_fwd_impl(x, qkv_w, qkv_b, proj_w, proj_b, num_heads,
-                              causal_attention, interpret: bool = False):
+def _geometry(x, num_heads):
     B, S, D = x.shape
     sublane = 16 if x.dtype == jnp.bfloat16 else 8
     S_pad = _round_up(S, sublane)
@@ -133,15 +139,27 @@ def _fused_attention_fwd_impl(x, qkv_w, qkv_b, proj_w, proj_b, num_heads,
     G = _pick_group(S_pad, D, np.dtype(x.dtype).itemsize)
     G = max(pack, (G // pack) * pack)
     B_pad = _round_up(B, G)
+    return B, S, D, S_pad, pack, G, B_pad
+
+
+def _fused_attention_fwd_impl(x, qkv_w, qkv_b, proj_w, proj_b, num_heads,
+                              causal_attention, interpret: bool = False):
+    B, S, D, S_pad, pack, G, B_pad = _geometry(x, num_heads)
+    SP = S_pad * pack
     xp = x
     if S_pad != S or B_pad != B:
         xp = jnp.pad(x, ((0, B_pad - B), (0, S_pad - S), (0, 0)))
 
     kernel = functools.partial(_kernel, num_heads=num_heads,
                                causal_attention=causal_attention, seq_len=S, pack=pack)
-    out = pl.pallas_call(
+    out, qkv, probs, attn = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((B_pad, S_pad, D), x.dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct((B_pad, S_pad, D), x.dtype),
+            jax.ShapeDtypeStruct((B_pad, S_pad, 3 * D), x.dtype),
+            jax.ShapeDtypeStruct((B_pad // pack, num_heads, SP, SP), x.dtype),
+            jax.ShapeDtypeStruct((B_pad, S_pad, D), x.dtype),
+        ),
         grid=(B_pad // G,),
         in_specs=[
             pl.BlockSpec((G, S_pad, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -150,25 +168,78 @@ def _fused_attention_fwd_impl(x, qkv_w, qkv_b, proj_w, proj_b, num_heads,
             pl.BlockSpec((D, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((D,), lambda i: (0,), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((G, S_pad, D), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=(
+            pl.BlockSpec((G, S_pad, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, S_pad, 3 * D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G // pack, num_heads, SP, SP), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, S_pad, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ),
         interpret=interpret,
     )(xp, qkv_w, qkv_b, proj_w, proj_b)
-    return out[:B, :S]
+    return out[:B, :S], qkv, probs, attn
 
 
 def _fwd(x, qkv_w, qkv_b, proj_w, proj_b, num_heads, causal_attention):
-    out = _fused_attention_fwd_impl(x, qkv_w, qkv_b, proj_w, proj_b, num_heads,
-                                    causal_attention)
-    return out, (x, qkv_w, qkv_b, proj_w, proj_b)
+    out, qkv, probs, attn = _fused_attention_fwd_impl(
+        x, qkv_w, qkv_b, proj_w, proj_b, num_heads, causal_attention)
+    return out, (x, qkv, probs, attn, qkv_w, proj_w)
 
 
 def _bwd(num_heads, causal_attention, residuals, g):
-    x, qkv_w, qkv_b, proj_w, proj_b = residuals
-    _, vjp = jax.vjp(
-        lambda *args: attention_ref(*args, num_heads, causal_attention),
-        x, qkv_w, qkv_b, proj_w, proj_b)
-    return vjp(g)
+    '''Explicit attention backward from saved residuals (packed layout; off-block probs are
+    exactly zero, so packed matmuls produce correct per-sequence gradients).'''
+    x, qkv, probs, attn, qkv_w, proj_w = residuals
+    B, S, D, S_pad, pack, G, B_pad = _geometry(x, num_heads)
+    SP = S_pad * pack
+    dh = D // num_heads
+    scale = dh ** -0.5
+    cdt = x.dtype
+
+    gp = g
+    if gp.shape[0] != B_pad or gp.shape[1] != S_pad:
+        gp = jnp.pad(g, ((0, B_pad - B), (0, S_pad - S), (0, 0)))
+    gp = gp.astype(cdt)
+
+    g2 = gp.reshape(B_pad * S_pad, D)
+    attn2 = attn.reshape(B_pad * S_pad, D)
+    dproj_w = jnp.dot(attn2.T, g2, preferred_element_type=jnp.float32)
+    dproj_b = jnp.sum(g2, axis=0, dtype=jnp.float32)
+    dattn = jnp.dot(g2, proj_w.astype(cdt).T).reshape(B_pad // pack, SP, D)
+
+    qkv_p = qkv.reshape(B_pad // pack, SP, 3 * D)
+    dqkv = []
+    for h in range(num_heads):
+        q = qkv_p[:, :, h * dh:(h + 1) * dh]
+        k = qkv_p[:, :, D + h * dh:D + (h + 1) * dh]
+        v = qkv_p[:, :, 2 * D + h * dh:2 * D + (h + 1) * dh]
+        p_h = probs[:, h]                                              # (Bp/P, SP, SP)
+        da_h = dattn[:, :, h * dh:(h + 1) * dh]
+        dv = jax.lax.dot_general(p_h, da_h, (((1,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32).astype(cdt)
+        dp = jax.lax.dot_general(da_h, v, (((2,), (2,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)   # (Bp/P, SP, SP)
+        pf = p_h.astype(jnp.float32)
+        dlog = pf * (dp - jnp.sum(dp * pf, axis=-1, keepdims=True))
+        dlog = (dlog * scale).astype(cdt)
+        dq = jax.lax.dot_general(dlog, k, (((2,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32).astype(cdt)
+        dk = jax.lax.dot_general(dlog, q, (((1,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32).astype(cdt)
+        dqkv.append((dq, dk, dv))
+    dqkv_full = jnp.concatenate([d for d, _, _ in dqkv] + [d for _, d, _ in dqkv]
+                                + [d for _, _, d in dqkv], axis=-1)
+    dqkv_full = dqkv_full.reshape(B_pad * S_pad, 3 * D)
+
+    xp = x
+    if x.shape[0] != B_pad or x.shape[1] != S_pad:
+        xp = jnp.pad(x, ((0, B_pad - B), (0, S_pad - S), (0, 0)))
+    x2 = xp.astype(cdt).reshape(B_pad * S_pad, D)
+    dqkv_w = jnp.dot(x2.T, dqkv_full, preferred_element_type=jnp.float32)
+    dqkv_b = jnp.sum(dqkv_full.astype(jnp.float32), axis=0)
+    dx = jnp.dot(dqkv_full, qkv_w.astype(cdt).T).reshape(B_pad, S_pad, D)
+    dx = dx[:B, :S].astype(x.dtype)
+    return dx, dqkv_w, dqkv_b, dproj_w, dproj_b
 
 
 fused_attention.defvjp(_fwd, _bwd)

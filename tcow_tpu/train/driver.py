@@ -37,10 +37,13 @@ def loss_config_from_args(args) -> LossConfig:
 
 def build_seeker_config(args, seeker_args: Dict[str, Any], mesh=None) -> SeekerConfig:
     import jax.numpy as jnp
+    import jax
     overrides = dict(
         compute_dtype=jnp.bfloat16 if getattr(args, 'compute_dtype', 'bfloat16')
         == 'bfloat16' else jnp.float32,
         remat=getattr(args, 'remat', True),
+        remat_policy='dots_nb' if jax.default_backend() == 'tpu' else 'full',
+        use_pallas_attention=jax.default_backend() == 'tpu',
         batch_axis=mesh_lib.DATA_AXIS if mesh is not None else None,
         seq_axis=mesh_lib.SEQ_AXIS
         if mesh is not None and mesh.shape[mesh_lib.SEQ_AXIS] > 1 else None)

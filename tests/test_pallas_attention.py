@@ -27,7 +27,7 @@ def make_inputs(B=5, S=13, D=32, seed=0, dtype=jnp.float32):
 def test_fused_matches_reference(ca, S):
     args = make_inputs(S=S)
     want = pa.attention_ref(*args, num_heads=4, causal_attention=ca)
-    got = pa._fused_attention_fwd_impl(*args, 4, ca, interpret=True)
+    got = pa._fused_attention_fwd_impl(*args, 4, ca, interpret=True)[0]
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5)
 
 
@@ -37,7 +37,7 @@ def test_fused_matches_model_attention():
     x = args[0]
     p = {'qkv': {'w': args[1], 'b': args[2]}, 'proj': {'w': args[3], 'b': args[4]}}
     want = tsf.attention(p, x, 4, causal_attention=1)
-    got = pa._fused_attention_fwd_impl(*args, 4, 1, interpret=True)
+    got = pa._fused_attention_fwd_impl(*args, 4, 1, interpret=True)[0]
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5)
 
 
