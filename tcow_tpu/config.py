@@ -58,6 +58,9 @@ def shared_args(parser: argparse.ArgumentParser):
                         help='Sequence-parallel shards (second mesh axis).')
     parser.add_argument('--compute_dtype', default='bfloat16', type=str,
                         choices=['bfloat16', 'float32'])
+    parser.add_argument('--profile_dir', default='', type=str,
+                        help='If set, capture a jax.profiler trace of a few train steps '
+                             'into this directory (view with xprof/tensorboard).')
 
 
 def train_args(argv=None):

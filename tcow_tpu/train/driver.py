@@ -187,10 +187,24 @@ def _run_one_epoch(args, logger, mesh, state, train_step, eval_step, loader, pha
     num_exceptions = 0
     is_train = (phase == 'train')
 
+    profile_dir = getattr(args, 'profile_dir', '')
+    profile_start = min(2, max(len(loader) - 1, 0))  # short epochs still get a trace
+    tracing = False
     for cur_step, batch in enumerate(loader):
         if cur_step == 0:
             logger.info(f'Enter first data loader iteration took '
                         f'{time.time() - start_time:.3f}s')
+        # Trace a few steady-state steps once (SURVEY.md section 5.1: the TPU-native
+        # replacement for the reference's ad-hoc wall-clock logging).
+        if profile_dir and is_train and epoch == 0 and cur_step == profile_start \
+                and not tracing:
+            jax.profiler.start_trace(profile_dir)
+            tracing = True
+            logger.info(f'jax.profiler trace started -> {profile_dir}')
+        if tracing and cur_step == profile_start + 3:
+            jax.profiler.stop_trace()
+            tracing = False
+            logger.info('jax.profiler trace stopped.')
         total_step = cur_step + steps_per_epoch * epoch
         progress = total_step / max(total_steps_all, 1)
         try:
@@ -226,5 +240,7 @@ def _run_one_epoch(args, logger, mesh, state, train_step, eval_step, loader, pha
         if cur_step >= 100 and args.is_debug:
             logger.warning('Cutting epoch short for debugging...')
             break
+    if tracing:
+        jax.profiler.stop_trace()
     logger.commit_scalars(step=epoch)
     return state

@@ -1,0 +1,112 @@
+'''
+Logger (scalar accumulation, media writers, friendly names) + augmentation pipeline tests.
+'''
+
+import os
+
+import numpy as np
+import pytest
+
+import conftest  # noqa: F401
+from tcow_tpu.data import augs as augs_lib
+from tcow_tpu.utils import visualization
+from tcow_tpu.utils.logvis import Logger, MyLogger
+
+
+def test_scalar_weighted_memory(tmp_path):
+    lg = Logger(str(tmp_path), 'unit')
+    lg.report_scalar('k', 1.0, remember=True, weight=1.0)
+    lg.report_scalar('k', 3.0, remember=True, weight=3.0)
+    out = lg.commit_scalars()
+    assert abs(out['k'] - 2.5) < 1e-6  # (1*1 + 3*3) / 4
+    assert lg.commit_scalars() == {}  # memory cleared
+
+
+def test_save_video_and_gallery(tmp_path):
+    lg = Logger(str(tmp_path), 'unit')
+    frames = np.random.RandomState(0).rand(5, 32, 48, 3).astype(np.float32)
+    fp = lg.save_video(frames, 'clip.webm', fps=5, asynchronous=False)
+    assert fp is not None and os.path.exists(fp) and os.path.getsize(fp) > 0
+    gal = lg.save_gallery(np.stack([frames[0]] * 5), 'g.png', num_cols=3)
+    assert os.path.exists(gal)
+    pkl = lg.save_pickle({'a': 1}, 'results/x.p')
+    assert os.path.exists(pkl)
+
+
+def test_friendly_short_name():
+    kub = {'source_name': 'kubric', 'scene_dn': 'kubcon_v10_scn00042', 'dset_idx': 3}
+    assert MyLogger.friendly_short_name(kub, 1) == 'kubcon_v10_scn00042_q1'
+    plug = {'source_name': 'plugin', 'src_path': '/x/rollball.mp4', 'dset_idx': 7,
+            'frame_start': 15, 'frame_stride': 4}
+    assert MyLogger.friendly_short_name(plug) == 'rollball_i7_f15_s4'
+
+
+def test_draw_segm_borders():
+    m = np.zeros((2, 10, 10, 1), np.uint8)
+    m[:, 3:7, 3:7, 0] = 1
+    border = visualization.draw_segm_borders(m)
+    assert border.shape == (2, 10, 10)
+    assert border[0, 3, 3] and not border[0, 5, 5]  # edge yes, interior no
+
+
+def make_pipeline(**kw):
+    base = dict(num_frames_load=10, num_frames_clip=8, frame_height=24, frame_width=32,
+                frame_stride=1, do_random_augs=True, augs_2d=True, reverse_prob=0.5,
+                palindrome_prob=0.5, center_crop=False)
+    base.update(kw)
+    return augs_lib.AugmentationPipeline(**base)
+
+
+def test_augs_param_distributions():
+    pipe = make_pipeline()
+    rng = np.random.default_rng(0)
+    stats = {'palindrome': 0, 'reverse': 0, 'flip': 0}
+    n = 400
+    for _ in range(n):
+        p = pipe.sample_augs_params(rng)
+        stats['palindrome'] += p['palindrome']
+        stats['reverse'] += p['reverse']
+        stats['flip'] += p['horz_flip']
+        assert len(p['frame_inds_clip']) == 8
+        assert all(0 <= i < 10 for i in p['frame_inds_clip'])
+        if np.all(p['crop_rect'] >= 0):
+            y1, y2, x1, x2 = p['crop_rect']
+            assert 0 <= y1 <= 0.2 and 0.8 <= y2 <= 1.0
+            assert 0 <= x1 <= 0.2 and 0.8 <= x2 <= 1.0
+    assert 0.35 < stats['palindrome'] / n < 0.65
+    assert 0.35 < stats['flip'] / n < 0.65
+
+
+def test_augs_deterministic_no_random():
+    pipe = make_pipeline(do_random_augs=False)
+    p = pipe.sample_augs_params(np.random.default_rng(1))
+    assert not p['palindrome'] and not p['reverse'] and not p['horz_flip']
+    assert p['offset'] == 1  # (10 - 8) // 2
+    np.testing.assert_array_equal(p['frame_inds_clip'], np.arange(8))
+
+
+def test_apply_flip_and_nearest_resize():
+    pipe = make_pipeline(do_random_augs=False)
+    params = pipe.sample_augs_params(np.random.default_rng(0))
+    params['horz_flip'] = True
+    rgb = np.zeros((3, 10, 24, 32), np.float32)
+    rgb[:, :, :, :16] = 1.0  # left half bright
+    segm = np.zeros((1, 10, 24, 32), np.uint8)
+    segm[:, :, :, :16] = 7
+    out = pipe.apply_augs_2d_frames({'rgb': rgb, 'segm': segm}, params)
+    # After flip the bright half is on the right.
+    assert out['rgb'][:, 0, :, 16:].mean() > 0.9
+    assert out['rgb'][:, 0, :, :16].mean() < 0.1
+    # Nearest resize keeps integer labels intact.
+    assert set(np.unique(out['segm'])) <= {0, 7}
+
+
+def test_center_crop_aspect():
+    pipe = make_pipeline(do_random_augs=False, augs_2d=False, center_crop=True,
+                         frame_height=24, frame_width=24)  # square target
+    params = pipe.sample_augs_params(np.random.default_rng(0))
+    wide = np.zeros((3, 10, 20, 40), np.float32)
+    wide[:, :, :, 10:30] = 1.0  # center band
+    out = pipe.apply_augs_2d_frames({'rgb': wide}, params)
+    assert out['rgb'].shape == (3, 8, 24, 24)
+    assert out['rgb'].mean() > 0.95  # crop kept the bright center
