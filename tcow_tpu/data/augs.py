@@ -33,11 +33,32 @@ def _blend(a, b, factor):
     return np.clip(a * factor + b * (1.0 - factor), 0.0, 1.0)
 
 
+def _shift_hue(frames_tchw: np.ndarray, fh: float) -> np.ndarray:
+    '''Exact hue rotation via cv2 HSV (C++; matplotlib's converter is ~20x slower on
+    video-sized arrays).'''
+    try:
+        import cv2
+        T = frames_tchw.shape[0]
+        out = np.empty_like(frames_tchw, np.float32)
+        for t in range(T):
+            hwc = np.ascontiguousarray(
+                np.clip(frames_tchw[t].transpose(1, 2, 0), 0, 1), np.float32)
+            hsv = cv2.cvtColor(hwc, cv2.COLOR_RGB2HSV)
+            hsv[..., 0] = (hsv[..., 0] + fh * 360.0) % 360.0
+            out[t] = cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB).transpose(2, 0, 1)
+        return out
+    except ImportError:
+        import matplotlib.colors
+        hwc = frames_tchw.transpose(0, 2, 3, 1)
+        hsv = matplotlib.colors.rgb_to_hsv(np.clip(hwc, 0, 1))
+        hsv[..., 0] = (hsv[..., 0] + fh) % 1.0
+        return matplotlib.colors.hsv_to_rgb(hsv).transpose(0, 3, 1, 2).astype(np.float32)
+
+
 def color_jitter(frames: np.ndarray, rng: np.random.Generator, brightness=0.2, contrast=0.2,
                  saturation=0.2, hue=0.1) -> np.ndarray:
     '''torchvision.ColorJitter semantics on (T, 3, H, W) float frames: factors sampled once
     per video, the four adjustments applied in a random order.'''
-    import matplotlib.colors
     fb = rng.uniform(max(0.0, 1 - brightness), 1 + brightness)
     fc = rng.uniform(max(0.0, 1 - contrast), 1 + contrast)
     fs = rng.uniform(max(0.0, 1 - saturation), 1 + saturation)
@@ -54,10 +75,7 @@ def color_jitter(frames: np.ndarray, rng: np.random.Generator, brightness=0.2, c
             gray = _rgb_to_gray(out)
             out = _blend(out, gray, fs)
         else:
-            hwc = out.transpose(0, 2, 3, 1)
-            hsv = matplotlib.colors.rgb_to_hsv(np.clip(hwc, 0, 1))
-            hsv[..., 0] = (hsv[..., 0] + fh) % 1.0
-            out = matplotlib.colors.hsv_to_rgb(hsv).transpose(0, 3, 1, 2).astype(np.float32)
+            out = _shift_hue(out, fh)
     return out
 
 

@@ -33,7 +33,7 @@ from tcow_tpu.data import augs as augs_lib
 from tcow_tpu.data import data_utils, vis_codec
 from tcow_tpu.data import query_sampling
 
-PREPROCESS_CACHE_VERSION = 1
+PREPROCESS_CACHE_VERSION = 2  # v2: uint8 rgb + packbit masks, uncompressed npz (fast IO)
 
 
 class KubricQueryDataset:
@@ -170,8 +170,10 @@ class KubricQueryDataset:
             pre = self._load_example_preprocess(scene_dp, frame_inds_load)
             if self.use_cache:
                 try:
-                    tmp = cache_fp + f'.tmp{os.getpid()}'
-                    np.savez_compressed(tmp, **pre)
+                    # NOTE: np.savez appends '.npz' when missing, so the tmp name must
+                    # already end with it or os.replace silently misses the file.
+                    tmp = cache_fp + f'.tmp{os.getpid()}.npz'
+                    np.savez(tmp, **pre)  # uncompressed: load/save is IO-bound, not CPU
                     os.replace(tmp, cache_fp)
                 except OSError:
                     pass
@@ -201,7 +203,7 @@ class KubricQueryDataset:
             if not os.path.exists(rgb_fp):
                 break
             bgr = cv2.imread(rgb_fp, cv2.IMREAD_UNCHANGED)
-            pv_rgb.append((bgr[..., [2, 1, 0]] / 255.0).astype(np.float32))
+            pv_rgb.append(np.ascontiguousarray(bgr[..., [2, 1, 0]]))  # uint8
             sg = cv2.imread(os.path.join(frames_dp, f'segmentation_{t:05d}.png'))
             pv_segm_rgb.append((sg[..., [2, 1, 0]] / 255.0).astype(np.float32))
             per_inst = []
@@ -219,7 +221,7 @@ class KubricQueryDataset:
                 per_inst.append((dv > 25).astype(np.uint8))
             pv_div.append(np.stack(per_inst, axis=-1))
 
-        pv_rgb = np.stack(pv_rgb)                                  # (Tv, H, W, 3)
+        pv_rgb = np.stack(pv_rgb)                                  # (Tv, H, W, 3) uint8
         pv_segm_rgb = np.stack(pv_segm_rgb)                        # (Tv, H, W, 3)
         pv_div_segm = np.stack(pv_div)                             # (Tv, H, W, K)
         pv_segm = vis_codec.segm_rgb_to_ids_kubric(pv_segm_rgb)    # (Tv, H, W, 1)
@@ -231,9 +233,10 @@ class KubricQueryDataset:
             self.logger.warning(f'(KubricQueryDataset) Large recon_error {recon_error:.3f} '
                                 f'for {scene_dp}')
         return {
-            'pv_rgb': pv_rgb,
-            'pv_segm': pv_segm.astype(np.int32),
-            'pv_div_segm': pv_div_segm,
+            'pv_rgb_u8': pv_rgb,                                   # uint8 (4x smaller IO)
+            'pv_segm': pv_segm[..., 0].astype(np.int16),
+            'pv_div_packed': np.packbits(pv_div_segm, axis=-1),    # 8x smaller masks
+            'div_k': np.int32(K),
             'occl_fracs': occl_fracs,
             'occl_cont_dag': occl_cont_dag,
             'num_valo_instances': np.int32(K),
@@ -244,10 +247,12 @@ class KubricQueryDataset:
         K = int(pre['num_valo_instances'])
         frame_inds_clip = augs_params['frame_inds_clip']
 
+        rgb = pre['pv_rgb_u8'].astype(np.float32) / 255.0               # (Tv, H, W, 3)
+        div_segm = np.unpackbits(pre['pv_div_packed'], axis=-1, count=K)  # (Tv, H, W, K)
         modalities = {
-            'rgb': pre['pv_rgb'].transpose(3, 0, 1, 2),                 # (3, Tv, H, W)
-            'segm': pre['pv_segm'].transpose(3, 0, 1, 2).astype(np.uint8),
-            'div_segm': pre['pv_div_segm'].transpose(3, 0, 1, 2),       # (K, Tv, H, W)
+            'rgb': rgb.transpose(3, 0, 1, 2),                           # (3, Tv, H, W)
+            'segm': pre['pv_segm'][None].astype(np.uint8),              # (1, Tv, H, W)
+            'div_segm': div_segm.transpose(3, 0, 1, 2),                 # (K, Tv, H, W)
         }
         aug = self.augs_pipeline.apply_augs_2d_frames(modalities, augs_params)
         rgb_tf = aug['rgb']                                             # (3, Tc, Hf, Wf)

@@ -13,13 +13,24 @@ import numpy as np
 HUE_START = 0.01
 
 
+def _rgb_to_hue(rgb: np.ndarray) -> np.ndarray:
+    '''(*, 3) float RGB in [0,1] -> hue in [0,1). Uses cv2 (C++) when available; ~20x
+    matplotlib.colors.rgb_to_hsv on video-sized arrays.'''
+    try:
+        import cv2
+        flat = np.ascontiguousarray(rgb.reshape(-1, 1, 3), np.float32)
+        hsv = cv2.cvtColor(flat, cv2.COLOR_RGB2HSV)  # H in [0, 360)
+        return (hsv[:, 0, 0] / 360.0).reshape(rgb.shape[:-1])
+    except ImportError:
+        return matplotlib.colors.rgb_to_hsv(rgb)[..., 0]
+
+
 def segm_rgb_to_ids_kubric(segm_rgb: np.ndarray) -> np.ndarray:
     '''
     :param segm_rgb (*, 3) float RGB in [0, 1].
     :return segm_ids (*, 1) int32, 1-based instance IDs (0 = background).
     '''
-    hsv = matplotlib.colors.rgb_to_hsv(segm_rgb)
-    to_rank = hsv[..., 0]
+    to_rank = _rgb_to_hue(segm_rgb)
     unique_hues = np.sort(np.unique(to_rank))
     assert np.isclose(unique_hues[0], 0.0, rtol=1e-3, atol=1e-3), str(unique_hues)
 

@@ -412,9 +412,17 @@ def forward(params: Dict[str, Any], cfg: TimeSformerConfig, pixels: jnp.ndarray,
         # 38 GB activation footprint, README.md:49). The 'dots' policy keeps matmul
         # outputs resident and only recomputes elementwise work (cheaper backward, more
         # HBM).
+        cp = jax.checkpoint_policies
         policy = {'full': None,
-                  'dots': jax.checkpoint_policies.dots_saveable,
-                  'dots_nb': jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                  'dots': cp.dots_saveable,
+                  'dots_nb': cp.dots_with_no_batch_dims_saveable,
+                  # dots_nb + keep the fused-attention residuals (exported by the pallas
+                  # custom VJP under the name 'attn_res') so the backward pass never
+                  # recomputes attention.
+                  'dots_nb_attn': cp.save_from_both_policies(
+                      cp.dots_with_no_batch_dims_saveable,
+                      cp.save_only_these_names('attn_res')),
+                  'attn_res': cp.save_only_these_names('attn_res'),
                   }[cfg.remat_policy]
         body = jax.checkpoint(body, prevent_cse=False, policy=policy)
 

@@ -183,7 +183,14 @@ def _fused_attention_fwd_impl(x, qkv_w, qkv_b, proj_w, proj_b, num_heads,
 def _fwd(x, qkv_w, qkv_b, proj_w, proj_b, num_heads, causal_attention):
     out, qkv, probs, attn = _fused_attention_fwd_impl(
         x, qkv_w, qkv_b, proj_w, proj_b, num_heads, causal_attention)
-    return out, (x, qkv, probs, attn, qkv_w, proj_w)
+    # Name the residuals so a remat policy (save_only_these_names) can keep them across the
+    # per-block checkpoint boundary, avoiding any attention recompute in the backward.
+    from jax.ad_checkpoint import checkpoint_name
+    qkv = checkpoint_name(qkv, 'attn_res')
+    probs = checkpoint_name(probs, 'attn_res')
+    attn = checkpoint_name(attn, 'attn_res')
+    x_res = checkpoint_name(x, 'attn_res')
+    return out, (x_res, qkv, probs, attn, qkv_w, proj_w)
 
 
 def _bwd(num_heads, causal_attention, residuals, g):

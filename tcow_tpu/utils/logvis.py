@@ -92,6 +92,15 @@ class Logger:
                    config={k: str(v) for k, v in vars(args).items()})
 
     # ------------------------------------------------------------------ scalars
+    def _append_scalars_jsonl(self, payload: Dict[str, float], step: Optional[int]):
+        '''Offline scalar history: every committed/immediate scalar also lands in
+        <log_dir>/scalars.jsonl (wandb is optional in this image).'''
+        if not self.log_dir:
+            return
+        import json
+        with open(os.path.join(self.log_dir, 'scalars.jsonl'), 'a') as f:
+            f.write(json.dumps({'step': step, **payload}) + '\n')
+
     def report_scalar(self, key: str, value, step: Optional[int] = None,
                       remember: bool = False, weight: float = 1.0, commit_histogram=False):
         if value is None:
@@ -100,6 +109,7 @@ class Logger:
         if remember:
             self._scalar_memory[key].append((value, float(weight)))
         else:
+            self._append_scalars_jsonl({key: value}, step)
             if self._wandb is not None:
                 self._wandb.log({key: value}, step=step)
 
@@ -115,6 +125,8 @@ class Logger:
             values, weights = zip(*entries)
             total_w = sum(weights)
             out[k] = float(np.dot(values, weights) / total_w) if total_w > 0 else -1.0
+        if out:
+            self._append_scalars_jsonl(out, step)
         if self._wandb is not None and out:
             self._wandb.log(out, step=step)
         return out
