@@ -165,6 +165,11 @@ def verify_args(args, is_train: bool = False):
             args.log_path = args.train_log_path
         else:
             assert args.resume != ''
+            if os.path.isfile(resume_name):
+                # Extension over the reference: --resume may be a checkpoint file path;
+                # log under the experiment directory's name.
+                resume_name = os.path.basename(os.path.dirname(os.path.abspath(
+                    resume_name))) or 'resume'
             args.checkpoint_path = os.path.join(args.checkpoint_root, resume_name)
             args.train_log_path = os.path.join(args.log_root, resume_name)
             os.makedirs(args.train_log_path, exist_ok=True)

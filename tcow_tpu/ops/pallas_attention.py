@@ -51,8 +51,8 @@ def attention_ref(x, qkv_w, qkv_b, proj_w, proj_b, num_heads: int, causal_attent
     return jnp.einsum('bsd,de->bse', out, proj_w.astype(x.dtype)) + proj_b.astype(x.dtype)
 
 
-def _kernel(x_ref, qkv_w_ref, qkv_b_ref, proj_w_ref, proj_b_ref, out_ref, qkv_out_ref,
-            probs_out_ref, attn_out_ref, *,
+def _kernel(x_ref, qkv_w_ref, qkv_b_ref, proj_w_ref, proj_b_ref, out_ref,
+            qkv_out_ref=None, probs_out_ref=None, attn_out_ref=None, *,
             num_heads: int, causal_attention: int, seq_len: int, pack: int):
     '''Grid cell: a group of G whole sequences. Shapes (G, S_pad, D) in VMEM.
 
@@ -92,7 +92,8 @@ def _kernel(x_ref, qkv_w_ref, qkv_b_ref, proj_w_ref, proj_b_ref, out_ref, qkv_ou
                                      preferred_element_type=jnp.float32) * scale
         logits = jnp.where(mask[None], logits, jnp.float32(-1e10))
         probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)       # (G/P, SP, SP)
-        probs_out_ref[:, h] = probs
+        if probs_out_ref is not None:
+            probs_out_ref[:, h] = probs
         outs.append(jax.lax.dot_general(probs, v, (((2,), (1,)), ((0,), (0,))),
                                         preferred_element_type=jnp.float32)
                     .astype(x.dtype))
@@ -102,8 +103,10 @@ def _kernel(x_ref, qkv_w_ref, qkv_b_ref, proj_w_ref, proj_b_ref, out_ref, qkv_ou
                               preferred_element_type=jnp.float32)
     out = (out + proj_b_ref[:].astype(jnp.float32)).astype(x.dtype)
     out_ref[:] = out.reshape(G, S, D)
-    qkv_out_ref[:] = qkv
-    attn_out_ref[:] = attn.reshape(G, S, D)
+    if qkv_out_ref is not None:
+        qkv_out_ref[:] = qkv
+    if attn_out_ref is not None:
+        attn_out_ref[:] = attn.reshape(G, S, D)
 
 
 def _pick_group(S_pad: int, D: int, dtype_bytes: int) -> int:
@@ -122,12 +125,14 @@ def _pick_group(S_pad: int, D: int, dtype_bytes: int) -> int:
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
 def fused_attention(x, qkv_w, qkv_b, proj_w, proj_b, num_heads: int,
                     causal_attention: int):
-    '''Fused attention over (B, S, D); differentiable. The forward kernel exports its
-    residuals (qkv, packed probs, pre-projection attn) so the backward is explicit matmul
-    math with NO forward recompute — under per-block remat the residuals are transient
-    (one block alive at a time).'''
+    '''Fused attention over (B, S, D); differentiable. When differentiated, the forward
+    kernel exports its residuals (qkv, packed probs, pre-projection attn) so the backward
+    is explicit matmul math with NO forward recompute — under per-block remat the residuals
+    are transient (one block alive at a time). The primal (inference) call skips the
+    residual outputs entirely, which keeps VMEM in budget at long sequence lengths (the
+    ViT-L 480x640 stretch config has S = 1201).'''
     return _fused_attention_fwd_impl(x, qkv_w, qkv_b, proj_w, proj_b, num_heads,
-                                     causal_attention)[0]
+                                     causal_attention, want_residuals=False)[0]
 
 
 def _geometry(x, num_heads):
@@ -143,7 +148,8 @@ def _geometry(x, num_heads):
 
 
 def _fused_attention_fwd_impl(x, qkv_w, qkv_b, proj_w, proj_b, num_heads,
-                              causal_attention, interpret: bool = False):
+                              causal_attention, interpret: bool = False,
+                              want_residuals: bool = True):
     B, S, D, S_pad, pack, G, B_pad = _geometry(x, num_heads)
     SP = S_pad * pack
     xp = x
@@ -152,15 +158,33 @@ def _fused_attention_fwd_impl(x, qkv_w, qkv_b, proj_w, proj_b, num_heads,
 
     kernel = functools.partial(_kernel, num_heads=num_heads,
                                causal_attention=causal_attention, seq_len=S, pack=pack)
-    out, qkv, probs, attn = pl.pallas_call(
-        kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((B_pad, S_pad, D), x.dtype),
+    out_shape = [jax.ShapeDtypeStruct((B_pad, S_pad, D), x.dtype)]
+    out_specs = [pl.BlockSpec((G, S_pad, D), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)]
+    if want_residuals:
+        out_shape += [
             jax.ShapeDtypeStruct((B_pad, S_pad, 3 * D), x.dtype),
             jax.ShapeDtypeStruct((B_pad // pack, num_heads, SP, SP), x.dtype),
             jax.ShapeDtypeStruct((B_pad, S_pad, D), x.dtype),
-        ),
+        ]
+        out_specs += [
+            pl.BlockSpec((G, S_pad, 3 * D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G // pack, num_heads, SP, SP), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, S_pad, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ]
+    # Long sequences need more scoped VMEM than the 16M default (f32 qkv/score
+    # intermediates); budget from the actual block sizes.
+    itemsize = np.dtype(x.dtype).itemsize
+    block_bytes = (G * S_pad * (4 + 9 * itemsize) * D            # x f32 + qkv fp32->bf16
+                   + (G // pack) * SP * SP * (8 + 2 * itemsize)  # scores f32 + probs
+                   + 4 * D * D * itemsize)                       # resident weights
+    vmem_limit = int(min(max(block_bytes * 1.5, 32 * 1024 * 1024), 120 * 1024 * 1024))
+    results = pl.pallas_call(
+        kernel,
+        out_shape=tuple(out_shape),
         grid=(B_pad // G,),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
         in_specs=[
             pl.BlockSpec((G, S_pad, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((D, 3 * D), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -168,15 +192,13 @@ def _fused_attention_fwd_impl(x, qkv_w, qkv_b, proj_w, proj_b, num_heads,
             pl.BlockSpec((D, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((D,), lambda i: (0,), memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((G, S_pad, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, S_pad, 3 * D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((G // pack, num_heads, SP, SP), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, S_pad, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        ),
+        out_specs=tuple(out_specs),
         interpret=interpret,
     )(xp, qkv_w, qkv_b, proj_w, proj_b)
+    if not want_residuals:
+        return (results[0][:B, :S] if isinstance(results, (tuple, list))
+                else results[:B, :S]), None, None, None
+    out, qkv, probs, attn = results
     return out[:B, :S], qkv, probs, attn
 
 

@@ -163,10 +163,14 @@ def resolve_resume_path(checkpoint_root: str, resume: str, epoch: int = -1) -> s
 
 
 def get_checkpoint_epoch(checkpoint_path: str) -> int:
-    '''Reads the sidecar epoch file (my_utils.py:14-28).'''
+    '''Reads the sidecar epoch file, falling back to the checkpoint payload
+    (my_utils.py:14-28); understands both .npz and reference .pth checkpoints.'''
     d = os.path.dirname(checkpoint_path)
     epoch_file = os.path.join(d, 'checkpoint_epoch.txt')
     if os.path.exists(epoch_file):
         return int(np.loadtxt(epoch_file, dtype=np.int32))
-    ckpt = load_checkpoint(checkpoint_path)
-    return int(ckpt['epoch'])
+    if checkpoint_path.endswith('.pth'):
+        import torch
+        ckpt = torch.load(checkpoint_path, map_location='cpu', weights_only=False)
+        return int(ckpt.get('epoch', -1))
+    return int(load_checkpoint(checkpoint_path)['epoch'])
