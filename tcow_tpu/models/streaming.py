@@ -1,0 +1,172 @@
+'''
+Streaming (online) inference for the causal seeker: process video frame-by-frame with
+temporal K/V caches, producing per-frame masks with O(1) latency per frame.
+
+This is a NEW capability over the reference enabled by its temporally-causal attention
+(causal_attention == 1, vit.py:90-99): the reference can only run fixed-T clips offline
+(SURVEY.md section 5.7), while causal masking makes frame t's output independent of frames
+> t, so the identical math factorizes into an incremental recurrence:
+
+  - temporal attention: standard KV caching per block (query = the new frame's tokens,
+    keys/values = all cached frames);
+  - spatial attention (ca=1): each frame's sequence is [cls_in(block), tokens(frame)], and
+    the block's cls update uses ONLY frame 0's spatial attention (vit.py:197-198) — so the
+    per-block cls chain is computed once at frame 0 and cached;
+  - decode head is per-frame.
+
+Outputs are verified to match the batch causal forward exactly (tests/test_streaming.py).
+'''
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tcow_tpu.models import timesformer as tsf
+from tcow_tpu.models import mask_tracker as mt
+
+
+class StreamState(NamedTuple):
+    k_cache: jnp.ndarray   # (L, B, N, Tmax, D) temporal attention keys per block
+    v_cache: jnp.ndarray   # (L, B, N, Tmax, D)
+    cls_in: jnp.ndarray    # (L, B, D) per-block input cls token (frozen after frame 0)
+    t: jnp.ndarray         # () int32 current frame index
+
+
+def init_stream(params: Dict[str, Any], cfg: mt.SeekerConfig, batch_size: int,
+                max_frames: Optional[int] = None) -> StreamState:
+    bb = cfg.backbone_config()
+    assert bb.causal_attention == 1, 'streaming requires causal_attention == 1'
+    Tmax = max_frames or bb.num_frames
+    L, B, N, D = bb.depth, batch_size, bb.num_patches, bb.embed_dim
+    dt = bb.compute_dtype
+    return StreamState(
+        k_cache=jnp.zeros((L, B, N, Tmax, D), dt),
+        v_cache=jnp.zeros((L, B, N, Tmax, D), dt),
+        cls_in=jnp.zeros((L, B, D), dt),
+        t=jnp.int32(0))
+
+
+def _qkv_heads(p, x, nh):
+    '''(..., D) -> q, k, v each (..., D) pre-head-split.'''
+    qkv = tsf._dense(x, p['qkv'])
+    D = x.shape[-1]
+    return qkv[..., :D], qkv[..., D:2 * D], qkv[..., 2 * D:]
+
+
+def _attend_cached(q, k_all, v_all, nh, t, Tmax):
+    '''q (B, N, D) over cached keys/values (B, N, Tmax, D), valid length t+1.'''
+    B, N, D = q.shape
+    dh = D // nh
+    scale = dh ** -0.5
+    qh = q.reshape(B, N, nh, dh)
+    kh = k_all.reshape(B, N, Tmax, nh, dh)
+    vh = v_all.reshape(B, N, Tmax, nh, dh)
+    logits = jnp.einsum('bnhd,bnthd->bnht', qh, kh,
+                        preferred_element_type=jnp.float32) * scale
+    valid = jnp.arange(Tmax) <= t
+    logits = jnp.where(valid[None, None, None, :], logits, jnp.float32(-1e10))
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    out = jnp.einsum('bnht,bnthd->bnhd', probs, vh)
+    return out.reshape(B, N, D)
+
+
+def _spatial_attend(p, seq, nh):
+    '''Full attention over a per-frame sequence (B, S, D).'''
+    return tsf.attention(p, seq, nh)
+
+
+def stream_step(params: Dict[str, Any], cfg: mt.SeekerConfig, state: StreamState,
+                frame_rgb: jnp.ndarray, query_mask: jnp.ndarray
+                ) -> Tuple[StreamState, jnp.ndarray, Optional[jnp.ndarray]]:
+    '''Process ONE frame.
+
+    :param frame_rgb (B, 3, H, W) float in [0, 1].
+    :param query_mask (B, 1, H, W): the query at its frame, zeros elsewhere.
+    :return (new_state, mask_logits (B, C, H, W), flags (B, F) or None).
+    '''
+    bb = cfg.backbone_config()
+    B, _, H, W = frame_rgb.shape
+    p_sz, D, nh = bb.patch_size, bb.embed_dim, bb.num_heads
+    gh, gw = H // p_sz, W // p_sz
+    N = gh * gw
+    bparams = params['backbone']
+    L = bb.depth
+    Tmax = state.k_cache.shape[3]
+    t = state.t
+
+    x = jnp.concatenate([frame_rgb, query_mask], axis=1).astype(bb.compute_dtype)
+    if bb.normalize_inputs:
+        mean = jnp.asarray(tsf.TIMESFORMER_MEAN, x.dtype).reshape(1, 3, 1, 1)
+        std = jnp.asarray(tsf.TIMESFORMER_STD, x.dtype).reshape(1, 3, 1, 1)
+        x = jnp.concatenate([(x[:, 0:3] - mean) / std, x[:, 3:]], axis=1)
+
+    # Patch embed (one frame).
+    x = x.transpose(0, 2, 3, 1).reshape(B, gh, p_sz, gw, p_sz, bb.in_channels)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, N, p_sz * p_sz * bb.in_channels)
+    pe = bparams['patch_embed']
+    x = x @ pe['w'].astype(x.dtype) + pe['b'].astype(x.dtype)
+
+    pos = tsf.resize_pos_embed(bparams['pos_embed'], gh, gw).astype(x.dtype)
+    x = x + pos[None, 1:]
+    time = tsf.nearest_resize_1d(bparams['time_embed'], Tmax, axis=0).astype(x.dtype)
+    x = x + time[t][None, None, :]
+
+    cls0 = (bparams['cls_token'].astype(x.dtype) + pos[0])[None, :].repeat(B, axis=0)
+
+    is_first = (t == 0)
+
+    def body(carry, scanned):
+        xs, cls_carry = carry
+        pb, k_cache_l, v_cache_l, cls_in_l = scanned
+        # Block input cls: at frame 0 it is the previous block's output (chained through
+        # the carry, seeded with cls0); afterwards the frozen cached value.
+        cls_in = jnp.where(is_first, cls_carry, cls_in_l)
+
+        # Temporal attention with KV cache.
+        y = tsf.layer_norm(xs, pb['temporal_norm1'], bb.ln_eps)
+        q, k, v = _qkv_heads(pb['temporal_attn'], y, nh)
+        k_all = jax.lax.dynamic_update_index_in_dim(k_cache_l, k, t, axis=2)
+        v_all = jax.lax.dynamic_update_index_in_dim(v_cache_l, v, t, axis=2)
+        res_t = _attend_cached(q, k_all, v_all, nh, t, Tmax)
+        res_t = tsf._dense(res_t, pb['temporal_attn']['proj'])
+        res_t = tsf._dense(res_t, pb['temporal_fc'])
+        xt = xs + res_t
+
+        # Spatial attention over [cls_in, tokens] (ca == 1, vit.py:179-200).
+        seq = jnp.concatenate([cls_in[:, None, :], xt], axis=1)
+        res_sp = tsf.attention(pb['attn'], tsf.layer_norm(seq, pb['norm1'], bb.ln_eps), nh)
+        cls_from_sp = res_sp[:, 0, :]
+        tokens = xt + res_sp[:, 1:, :]
+
+        # cls chain: only frame 0's spatial attention feeds the block's cls output
+        # (vit.py:197-198), so it is computed once and frozen.
+        cls_mid = cls_in + cls_from_sp
+        cls_out = cls_mid + tsf.mlp(pb['mlp'],
+                                    tsf.layer_norm(cls_mid, pb['norm2'], bb.ln_eps))
+        tokens = tokens + tsf.mlp(pb['mlp'], tsf.layer_norm(tokens, pb['norm2'], bb.ln_eps))
+        return (tokens, cls_out), (k_all, v_all, cls_in)
+
+    (xs, _), (k_new, v_new, cls_in_new) = jax.lax.scan(
+        body, (x, cls0),
+        (bparams['blocks'], state.k_cache, state.v_cache, state.cls_in))
+
+    if bb.norm_embeddings:
+        xs = tsf.layer_norm(xs, bparams['norm'], bb.ln_eps)
+
+    # Per-frame decode head (mask_tracker.py:113-137).
+    feats = xs.reshape(B, gh, gw, D).astype(jnp.float32)
+    hp = params['post_linear']
+    C = cfg.output_channels
+    patches = jnp.einsum('bhwd,dk->bhwk', feats, hp['w'])
+    patches = (patches + hp['b']).reshape(B, gh, gw, C, p_sz, p_sz)
+    mask = patches.transpose(0, 3, 1, 4, 2, 5).reshape(B, C, gh * p_sz, gw * p_sz)
+    mask = mt.coarsen_mask(mask, cfg.track_map_stride, cfg.track_map_resize)
+
+    flags = None
+    if cfg.flag_channels > 0:
+        fp = params['flag_linear']
+        flags = (jnp.einsum('bhwd,df->bhwf', feats, fp['w']) + fp['b']).mean(axis=(1, 2))
+
+    new_state = StreamState(k_cache=k_new, v_cache=v_new, cls_in=cls_in_new, t=t + 1)
+    return new_state, mask.astype(jnp.float32), flags

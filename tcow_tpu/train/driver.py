@@ -220,8 +220,7 @@ def _run_one_epoch(args, logger, mesh, state, train_step, eval_step, loader, pha
             msums = jax.device_get(aux['metric_sums'])
             metrics = metrics_lib.finalize_metric_sums(msums)
             for k, v in scalars.items():
-                logger.report_scalar(f'{phase}/loss_{k.replace("total_seeker", "total_seeker")}',
-                                     v, remember=True)
+                logger.report_scalar(f'{phase}/loss_{k}', v, remember=True)
             for k in metrics_lib.METRIC_KEYS:
                 if metrics[f'count_{k}'] > 0:
                     logger.report_scalar(f'{phase}/{k}', metrics[f'mean_{k}'],

@@ -273,7 +273,6 @@ class MyLogger(Logger):
 
     def _save_query_overlays(self, phase, epoch, cur_step, data_retval, model_retval,
                              name_override: Optional[str] = None):
-        import jax
         to_np = lambda x: np.asarray(x)
         rgb = to_np(model_retval['seeker_input'])        # (B, 3, T, H, W)
         out_mask = to_np(model_retval['output_mask'])    # (B, Q, C, T, H, W) or (B, C, T, H, W)

@@ -45,6 +45,32 @@ def test_seq4_sequence_parallel_train_step_small():
         tsf.DEPTH_PRESETS.update(old)
 
 
+def test_sequence_parallel_matches_unsharded():
+    '''Sequence sharding is an execution-layout hint: outputs must match the unsharded
+    forward bit-for-float.'''
+    import dataclasses
+    from tcow_tpu.models import timesformer as tsf
+    cfg = tsf.TimeSformerConfig(frame_height=32, frame_width=64, patch_size=16,
+                                in_channels=4, num_frames=8, depth=2, embed_dim=32,
+                                num_heads=4, causal_attention=1, drop_path_rate=0.0)
+    params = tsf.init_params(jax.random.key(0), cfg)
+    x = jax.random.normal(jax.random.key(1), (2, 4, 8, 32, 64))
+    feats_ref, cls_ref = jax.jit(lambda p, x: tsf.forward(p, cfg, x))(params, x)
+
+    cfg_sp = dataclasses.replace(cfg, batch_axis=mesh_lib.DATA_AXIS,
+                                 seq_axis=mesh_lib.SEQ_AXIS)
+    mesh = mesh_lib.make_mesh(seq=4)
+    with jax.set_mesh(mesh):
+        params_r = mesh_lib.replicate_tree(params, mesh)
+        x_sh = jax.device_put(x, jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(mesh_lib.DATA_AXIS)))
+        feats_sp, cls_sp = jax.jit(lambda p, x: tsf.forward(p, cfg_sp, x))(params_r, x_sh)
+    np.testing.assert_allclose(np.asarray(feats_sp), np.asarray(feats_ref),
+                               rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(cls_sp), np.asarray(cls_ref),
+                               rtol=2e-5, atol=1e-6)
+
+
 @pytest.mark.skipif(os.environ.get('TCOW_RUN_SLOW', '') != '1',
                     reason='~20 min on the 1-core CI host; set TCOW_RUN_SLOW=1')
 def test_vit_l_sequence_parallel_train_step():
