@@ -190,6 +190,7 @@ def _run_one_epoch(args, logger, mesh, state, train_step, eval_step, loader, pha
     profile_dir = getattr(args, 'profile_dir', '')
     profile_start = min(2, max(len(loader) - 1, 0))  # short epochs still get a trace
     tracing = False
+    pending_aux, pending_step = None, -1
     for cur_step, batch in enumerate(loader):
         if cur_step == 0:
             logger.info(f'Enter first data loader iteration took '
@@ -211,25 +212,14 @@ def _run_one_epoch(args, logger, mesh, state, train_step, eval_step, loader, pha
             device_batch = mesh_lib.shard_batch(batch['device'], mesh)
             if is_train:
                 state, aux = train_step(state, device_batch, jnp.float32(progress))
-                if float(aux['skipped_nonfinite']) > 0:
-                    logger.warning('Skipping seeker optimizer step due to loss = NaN.')
             else:
                 aux = eval_step(state.params, device_batch, jnp.float32(progress))
-            scalars = {k: float(aux[k]) for k in
-                       ('total_seeker', 'track', 'occl_mask', 'cont_mask')}
-            msums = jax.device_get(aux['metric_sums'])
-            metrics = metrics_lib.finalize_metric_sums(msums)
-            for k, v in scalars.items():
-                logger.report_scalar(f'{phase}/loss_{k}', v, remember=True)
-            for k in metrics_lib.METRIC_KEYS:
-                if metrics[f'count_{k}'] > 0:
-                    logger.report_scalar(f'{phase}/{k}', metrics[f'mean_{k}'],
-                                         remember=True, weight=metrics[f'count_{k}'])
-            if cur_step % max(logger.step_interval // 4, 1) == 0:
-                logger.info(f'[{phase}] e{epoch} s{cur_step}/{len(loader)} '
-                            f'total {scalars["total_seeker"]:.4f} '
-                            f'track {scalars["track"]:.4f} '
-                            f'snitch IoU {metrics["mean_snitch_iou"]:.3f}')
+            # Log with a one-step lag: fetching scalars immediately would synchronize the
+            # host with the device every step and stall the dispatch pipeline.
+            if pending_aux is not None:
+                _log_step_scalars(logger, phase, epoch, pending_step, len(loader),
+                                  pending_aux)
+            pending_aux, pending_step = aux, cur_step
         except Exception as e:
             num_exceptions += 1
             if num_exceptions >= 20:
@@ -239,7 +229,30 @@ def _run_one_epoch(args, logger, mesh, state, train_step, eval_step, loader, pha
         if cur_step >= 100 and args.is_debug:
             logger.warning('Cutting epoch short for debugging...')
             break
+    if pending_aux is not None:
+        _log_step_scalars(logger, phase, epoch, pending_step, len(loader), pending_aux)
     if tracing:
         jax.profiler.stop_trace()
     logger.commit_scalars(step=epoch)
     return state
+
+
+def _log_step_scalars(logger, phase, epoch, cur_step, steps_total, aux):
+    import jax
+    from tcow_tpu.objectives import metrics as metrics_lib
+    if float(aux.get('skipped_nonfinite', 0.0)) > 0:
+        logger.warning('Skipping seeker optimizer step due to loss = NaN.')
+    scalars = {k: float(aux[k]) for k in
+               ('total_seeker', 'track', 'occl_mask', 'cont_mask')}
+    metrics = metrics_lib.finalize_metric_sums(jax.device_get(aux['metric_sums']))
+    for k, v in scalars.items():
+        logger.report_scalar(f'{phase}/loss_{k}', v, remember=True)
+    for k in metrics_lib.METRIC_KEYS:
+        if metrics[f'count_{k}'] > 0:
+            logger.report_scalar(f'{phase}/{k}', metrics[f'mean_{k}'],
+                                 remember=True, weight=metrics[f'count_{k}'])
+    if cur_step % max(logger.step_interval // 4, 1) == 0:
+        logger.info(f'[{phase}] e{epoch} s{cur_step}/{steps_total} '
+                    f'total {scalars["total_seeker"]:.4f} '
+                    f'track {scalars["track"]:.4f} '
+                    f'snitch IoU {metrics["mean_snitch_iou"]:.3f}')
