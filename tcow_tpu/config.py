@@ -12,8 +12,6 @@ import multiprocessing as mp
 import os
 from typing import Any, Dict
 
-import numpy as np
-
 
 def _str2bool(v):
     if isinstance(v, bool):
@@ -61,6 +59,9 @@ def shared_args(parser: argparse.ArgumentParser):
     parser.add_argument('--profile_dir', default='', type=str,
                         help='If set, capture a jax.profiler trace of a few train steps '
                              'into this directory (view with xprof/tensorboard).')
+    parser.add_argument('--multihost', default=False, type=_str2bool,
+                        help='Initialize jax.distributed for multi-host (DCN) execution; '
+                             'coordinator/process env comes from the TPU runtime.')
 
 
 def train_args(argv=None):

@@ -12,7 +12,7 @@ reference uses torch DataLoader worker processes, data.py:74-84).
 
 import queue
 import threading
-from typing import Any, Callable, Dict, List, Optional, Tuple
+from typing import Any, Callable, Dict, List, Optional
 
 import numpy as np
 

@@ -6,8 +6,6 @@ fraction = fraction of a 6x6x6 sample grid of the candidate oriented bounding bo
 inside the reference OBB.
 '''
 
-from typing import Optional, Tuple
-
 import numpy as np
 
 

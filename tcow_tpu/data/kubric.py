@@ -21,7 +21,6 @@ Output per item is flat numpy (the device batch schema of tcow_tpu.train.step pl
 bookkeeping); collation is a plain np.stack.
 '''
 
-import glob
 import json
 import os
 import pathlib

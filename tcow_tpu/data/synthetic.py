@@ -15,7 +15,7 @@ Synthetic data generation, two flavors:
 
 import json
 import os
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

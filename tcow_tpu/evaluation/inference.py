@@ -10,7 +10,7 @@ batched multi-stride inference).
 '''
 
 import os
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import numpy as np
 

@@ -12,9 +12,8 @@ import glob
 import os
 import pathlib
 import shutil
-from typing import Dict, List
+from typing import List
 
-import numpy as np
 import pandas as pd
 
 from tcow_tpu.evaluation import test_driver

@@ -15,7 +15,6 @@ from typing import Any, Dict, List
 import numpy as np
 import pandas as pd
 
-from tcow_tpu import config as config_lib
 from tcow_tpu.data import data_utils, factory
 from tcow_tpu.evaluation import inference as inference_lib
 from tcow_tpu.objectives import metrics as metrics_lib
@@ -76,9 +75,10 @@ def _test_inner_kubric(all_args, engine, loader, logger, step_offset):
 
 def _test_inner_plugin(all_args, engine, dataset, logger, step_offset):
     retvals = []
-    items = [dataset[i] for i in range(len(dataset))]
-    for i0 in range(0, len(items), PLUGIN_BATCH):
-        chunk = items[i0:i0 + PLUGIN_BATCH]
+    n = len(dataset)
+    for i0 in range(0, n, PLUGIN_BATCH):
+        # Materialize one chunk at a time (each item is a full decoded clip).
+        chunk = [dataset[i] for i in range(i0, min(i0 + PLUGIN_BATCH, n))]
         rgb = np.stack([it['rgb'] for it in chunk])
         query = np.stack([it['query'] for it in chunk])
         target = np.stack([it['target'] for it in chunk])

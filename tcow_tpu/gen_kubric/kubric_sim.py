@@ -12,7 +12,7 @@ import copy
 import os
 import tempfile
 import time
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 

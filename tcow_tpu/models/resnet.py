@@ -15,7 +15,7 @@ batch moments (functional style).
 '''
 
 import dataclasses
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

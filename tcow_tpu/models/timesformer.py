@@ -23,7 +23,6 @@ axis and executed with `lax.scan` so XLA compiles one block body regardless of d
 '''
 
 import dataclasses
-import functools
 import math
 from typing import Any, Dict, Optional, Tuple
 

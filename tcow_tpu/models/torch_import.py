@@ -14,7 +14,7 @@ Torch is used only on the host for deserialization; everything returned is numpy
 '''
 
 import math
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import numpy as np
 

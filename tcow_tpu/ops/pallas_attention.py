@@ -16,8 +16,6 @@ training).
 '''
 
 import functools
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

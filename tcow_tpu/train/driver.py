@@ -11,7 +11,7 @@ tolerated exceptions per epoch (train.py:77-84), '*ba*' runs checkpointing befor
 
 import random
 import time
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import numpy as np
 
@@ -86,6 +86,14 @@ def main(args, logger):
     import jax
     import jax.numpy as jnp
     from tcow_tpu.data import factory
+
+    if getattr(args, 'multihost', False):
+        # Multi-host (DCN) execution: the mesh below then spans all processes' devices and
+        # the SPMD partitioner routes batch-gradient all-reduce over ICI within slices and
+        # DCN across them (SURVEY.md section 5.8).
+        jax.distributed.initialize()
+        logger.info(f'jax.distributed initialized: process {jax.process_index()} / '
+                    f'{jax.process_count()}')
 
     logger.save_args(args, 'train')
     np.random.seed(args.seed)

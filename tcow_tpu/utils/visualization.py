@@ -7,8 +7,6 @@ snitch = green, frontmost occluder = red, outermost container = blue, query bord
 viridis for loss-weight maps.
 '''
 
-from typing import Optional
-
 import numpy as np
 
 
