@@ -69,6 +69,10 @@ def train_args(argv=None):
     shared_args(parser)
     parser.add_argument('--num_epochs', default=70, type=int)
     parser.add_argument('--checkpoint_every', default=2, type=int)
+    parser.add_argument('--save_every', default=1, type=int,
+                        help='Epoch interval for updating the latest checkpoint (the '
+                             'reference saves every epoch; raise this when host<->device '
+                             'bandwidth makes per-epoch state fetches expensive).')
     parser.add_argument('--learn_rate', default=1e-4, type=float)
     parser.add_argument('--lr_decay', default=0.3, type=float)
     parser.add_argument('--do_val_aug', default=True, type=_str2bool)
@@ -124,6 +128,9 @@ def test_args(argv=None):
     parser.add_argument('--store_results', default=False, type=_str2bool)
     parser.add_argument('--annots_must_exist', default=False, type=_str2bool)
     parser.add_argument('--extra_visuals', default=False, type=_str2bool)
+    parser.add_argument('--plugin_batch', default=4, type=int,
+                        help='Usage modes evaluated per device step for plugin videos '
+                             '(batched multi-stride inference; the reference runs 1).')
     parser.add_argument('--test_log_path', default='', type=str)
     args = parser.parse_args(argv)
     verify_args(args, is_train=False)

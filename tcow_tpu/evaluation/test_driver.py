@@ -20,8 +20,6 @@ from tcow_tpu.evaluation import inference as inference_lib
 from tcow_tpu.objectives import metrics as metrics_lib
 from tcow_tpu.train import driver as train_driver
 
-PLUGIN_BATCH = 4  # usage modes evaluated per device step (batched multi-stride inference)
-
 
 def test_results_to_dataframe(inference_retvals: List[Dict]) -> pd.DataFrame:
     '''metrics.py:166-191 schema.'''
@@ -76,9 +74,10 @@ def _test_inner_kubric(all_args, engine, loader, logger, step_offset):
 def _test_inner_plugin(all_args, engine, dataset, logger, step_offset):
     retvals = []
     n = len(dataset)
-    for i0 in range(0, n, PLUGIN_BATCH):
+    plugin_batch = max(1, getattr(all_args['test'], 'plugin_batch', 4))
+    for i0 in range(0, n, plugin_batch):
         # Materialize one chunk at a time (each item is a full decoded clip).
-        chunk = [dataset[i] for i in range(i0, min(i0 + PLUGIN_BATCH, n))]
+        chunk = [dataset[i] for i in range(i0, min(i0 + plugin_batch, n))]
         rgb = np.stack([it['rgb'] for it in chunk])
         query = np.stack([it['query'] for it in chunk])
         target = np.stack([it['target'] for it in chunk])

@@ -94,7 +94,13 @@ def save_checkpoint(checkpoint_dir: str, epoch: int, name: str, params, opt_stat
         with open(os.path.join(checkpoint_dir, 'checkpoint_name.txt'), 'w') as f:
             f.write(name + '\n')
     if epoch % checkpoint_every == 0 or epoch < 0:
-        shutil.copy(main_path, os.path.join(checkpoint_dir, f'model_{epoch}.npz'))
+        snap = os.path.join(checkpoint_dir, f'model_{epoch}.npz')
+        if os.path.exists(snap):
+            os.remove(snap)
+        try:
+            os.link(main_path, snap)  # free snapshot (checkpoints are replaced atomically)
+        except OSError:
+            shutil.copy(main_path, snap)
     return main_path
 
 

@@ -148,9 +148,19 @@ def main(args, logger):
     eval_step = jax.jit(step_lib.make_eval_step(step_cfg))
     state = mesh_lib.replicate_tree(state, mesh)
 
-    def checkpoint_fn(epoch):
-        if args.checkpoint_path:
-            host_state = jax.device_get(state)
+    import threading
+    ckpt_thread = [None]
+
+    def checkpoint_fn(epoch, final: bool = False):
+        if not args.checkpoint_path:
+            return
+        save_every = max(getattr(args, 'save_every', 1), 1)
+        if epoch >= 0 and not final and epoch % save_every != 0 \
+                and epoch % args.checkpoint_every != 0:
+            return
+        host_state = jax.device_get(state)  # must be sync (next step donates the buffers)
+
+        def write():
             ckpt_lib.save_checkpoint(
                 args.checkpoint_path, epoch, args.name, host_state.params,
                 opt_state=host_state.opt_state, rng=host_state.rng, step=host_state.step,
@@ -158,6 +168,14 @@ def main(args, logger):
                 seeker_args=seeker_args, checkpoint_every=args.checkpoint_every,
                 is_debug=args.is_debug)
             logger.info(f'Saved checkpoint for epoch {epoch}.')
+
+        if ckpt_thread[0] is not None:
+            ckpt_thread[0].join()  # never stack writes
+        # Disk IO overlaps the next epoch (atomic tmp+rename keeps readers safe).
+        ckpt_thread[0] = threading.Thread(target=write, daemon=False)
+        ckpt_thread[0].start()
+        if final:
+            ckpt_thread[0].join()
 
     if 'ba' in args.name and start_epoch <= 0:
         checkpoint_fn(-1)  # save-before-any-training runs (train.py:123-125)
@@ -168,7 +186,7 @@ def main(args, logger):
             state = _run_one_epoch(args, logger, mesh, state, train_step, None,
                                    train_loader, 'train', epoch, steps_per_epoch,
                                    total_steps_all)
-            checkpoint_fn(epoch)
+            checkpoint_fn(epoch, final=(epoch == args.num_epochs - 1))
             logger.epoch_finished(epoch)
             if epoch % args.val_every == 0:
                 if args.do_val_aug and val_aug_loader is not None:

@@ -298,8 +298,21 @@ class MyLogger(Logger):
             outer_border = visualization.draw_segm_borders(
                 (tm[2] > 0.5)[..., None], False) if tm.shape[0] >= 3 else \
                 np.zeros_like(snitch_border)
-            vid = visualization.create_model_output_snitch_occl_cont_video(
+            name = name_override or f'e{epoch}_p{phase}_s{cur_step}'
+            # Reference visual product suffixes (logvis.py:176-308): input, magma snitch,
+            # 3-channel hierarchy, and ground-truth overlay.
+            vid_in = visualization.create_model_input_video(
+                rgb_t.copy(), qm, visualization.draw_segm_borders(qm[..., None], False))
+            self.save_video(vid_in, f'{name}_q{q}_in.webm', fps=6)
+            vid_sn = visualization.create_model_output_snitch_video(
+                rgb_t, om, query_border, snitch_border)
+            self.save_video(vid_sn, f'{name}_q{q}_out_sn.webm', fps=6)
+            vid_oc = visualization.create_model_output_snitch_occl_cont_video(
                 rgb_t, om, query_border, snitch_border, front_border, outer_border,
                 grayscale=False)
-            name = name_override or f'e{epoch}_p{phase}_s{cur_step}'
-            self.save_video(vid, f'{name}_q{q}_out.webm', fps=6)
+            self.save_video(vid_oc, f'{name}_q{q}_out_oc.webm', fps=6)
+            if tm.max() > 0:
+                vid_gt = visualization.create_model_input_target_video(
+                    rgb_t, qm, tm, query_border, snitch_border, front_border,
+                    outer_border)
+                self.save_video(vid_gt, f'{name}_q{q}_gt.webm', fps=6)
