@@ -107,7 +107,8 @@ def stream_step(params: Dict[str, Any], cfg: mt.SeekerConfig, state: StreamState
     pe = bparams['patch_embed']
     x = x @ pe['w'].astype(x.dtype) + pe['b'].astype(x.dtype)
 
-    pos = tsf.resize_pos_embed(bparams['pos_embed'], gh, gw).astype(x.dtype)
+    pos = tsf.resize_pos_embed(bparams['pos_embed'], gh, gw,
+                               src_grid=(bb.grid_h, bb.grid_w)).astype(x.dtype)
     x = x + pos[None, 1:]
     time = tsf.nearest_resize_1d(bparams['time_embed'], Tmax, axis=0).astype(x.dtype)
     x = x + time[t][None, None, :]

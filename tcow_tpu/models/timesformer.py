@@ -243,16 +243,27 @@ def nearest_resize_1d(emb: jnp.ndarray, new_len: int, axis: int = 0) -> jnp.ndar
     return jnp.take(emb, jnp.asarray(idx), axis=axis)
 
 
-def resize_pos_embed(pos_embed: jnp.ndarray, grid_h: int, grid_w: int) -> jnp.ndarray:
-    '''Nearest-resize the non-cls part of a (N+1, D) pos embed from a square source grid to
-    (grid_h, grid_w), reference vision_tf.py:103-117 / helpers.py:170-178.'''
+def resize_pos_embed(pos_embed: jnp.ndarray, grid_h: int, grid_w: int,
+                     src_grid: Optional[Tuple[int, int]] = None) -> jnp.ndarray:
+    '''Nearest-resize the non-cls part of a (N+1, D) pos embed to (grid_h, grid_w),
+    reference vision_tf.py:103-117 / helpers.py:170-178.
+
+    `src_grid` gives the source (h, w); without it a square grid is assumed — note the
+    reference CRASHES here for its own non-square 240x320 training grid (vision_tf.py:107
+    takes sqrt of 300), so multi-resolution evaluation only works at the training size
+    there. This rebuild threads the known training grid through, making eval at any
+    resolution work.'''
     n_src = pos_embed.shape[0] - 1
     if n_src == grid_h * grid_w:
         return pos_embed
-    P = int(round(math.sqrt(n_src)))
-    assert P * P == n_src, f'source pos embed grid must be square, got {n_src}'
+    if src_grid is not None and src_grid[0] * src_grid[1] == n_src:
+        sh, sw = src_grid
+    else:
+        P = int(round(math.sqrt(n_src)))
+        assert P * P == n_src, f'source pos embed grid must be square, got {n_src}'
+        sh = sw = P
     D = pos_embed.shape[1]
-    grid = pos_embed[1:].reshape(P, P, D)
+    grid = pos_embed[1:].reshape(sh, sw, D)
     grid = nearest_resize_1d(grid, grid_h, axis=0)
     grid = nearest_resize_1d(grid, grid_w, axis=1)
     return jnp.concatenate([pos_embed[0:1], grid.reshape(grid_h * grid_w, D)], axis=0)
@@ -376,7 +387,8 @@ def forward(params: Dict[str, Any], cfg: TimeSformerConfig, pixels: jnp.ndarray,
     x = jnp.einsum('btnf,fd->btnd', x, pe['w'].astype(x.dtype)) + pe['b'].astype(x.dtype)
 
     # Position + time embeddings (nearest-resized on mismatch, vision_tf.py:103-136).
-    pos = resize_pos_embed(params['pos_embed'], gh, gw).astype(x.dtype)
+    pos = resize_pos_embed(params['pos_embed'], gh, gw,
+                           src_grid=(cfg.grid_h, cfg.grid_w)).astype(x.dtype)
     x = x + pos[None, None, 1:, :]
     cls = (params['cls_token'].astype(x.dtype) + pos[0])[None, :].repeat(B, axis=0)  # (B, D)
     time = nearest_resize_1d(params['time_embed'], T, axis=0).astype(x.dtype)

@@ -164,3 +164,14 @@ def test_param_count_matches_reference_scale():
     params = mt.init_params(jax.random.key(0), cfg)
     n = tsf.param_count(params)
     assert 119e6 < n < 123e6, n
+
+
+def test_multi_resolution_eval_nonsquare_grid():
+    '''Eval at a different resolution than training must work even though the training
+    patch grid is non-square (the reference crashes here, vision_tf.py:107).'''
+    cfg = tiny_cfg(causal_attention=1, frame_height=32, frame_width=64)  # grid 2x4
+    params = tsf.init_params(jax.random.key(0), cfg)
+    x = jax.random.normal(jax.random.key(1), (1, 4, 4, 64, 96))  # grid 4x6 at eval
+    feats, cls = tsf.forward(params, cfg, x)
+    assert feats.shape == (1, 32, 4, 4, 6)
+    assert np.isfinite(np.asarray(feats)).all()
