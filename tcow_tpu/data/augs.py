@@ -91,7 +91,8 @@ def gaussian_blur(frames: np.ndarray, rng: np.random.Generator, ksize=5,
 
 
 def resize_frames(frames: np.ndarray, height: int, width: int, nearest: bool) -> np.ndarray:
-    '''(C, T, H, W) -> (C, T, height, width).'''
+    '''(C, T, H, W) -> (C, T, height, width). Channels are chunked in groups of 4 because
+    cv2.resize rejects >4-channel images (instance-mask stacks go up to K = 36).'''
     import cv2
     C, T, H, W = frames.shape
     if (H, W) == (height, width):
@@ -100,11 +101,12 @@ def resize_frames(frames: np.ndarray, height: int, width: int, nearest: bool) ->
         cv2.INTER_AREA if height < H else cv2.INTER_LINEAR)
     out = np.empty((C, T, height, width), frames.dtype)
     for t in range(T):
-        img = frames[:, t].transpose(1, 2, 0)  # (H, W, C)
-        r = cv2.resize(img, (width, height), interpolation=interp)
-        if r.ndim == 2:
-            r = r[..., None]
-        out[:, t] = r.transpose(2, 0, 1)
+        for c0 in range(0, C, 4):
+            img = np.ascontiguousarray(frames[c0:c0 + 4, t].transpose(1, 2, 0))
+            r = cv2.resize(img, (width, height), interpolation=interp)
+            if r.ndim == 2:
+                r = r[..., None]
+            out[c0:c0 + 4, t] = r.transpose(2, 0, 1)
     return out
 
 
@@ -193,7 +195,10 @@ class AugmentationPipeline:
             assert len(frame_inds_clip) == self.num_frames_clip
             frames = raw[:, frame_inds_clip]          # (C, Tc, H, W)
             C, T, H, W = frames.shape
-            assert (C > 3) == ('div' in modality)
+            # Channel-count sanity: only instance-mask stacks may exceed 3 channels. The
+            # reference asserts (C > 3) == ('div' in name) (augs.py:162), which wrongly
+            # rejects scenes with <= 3 VALO instances; allow those.
+            assert ('div' in modality) or C <= 3, (modality, C)
             x = frames.transpose(1, 0, 2, 3)          # (T, C, H, W)
 
             if self.center_crop:
