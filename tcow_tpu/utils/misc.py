@@ -135,3 +135,19 @@ def quick_pca(array: np.ndarray, k: int = 3, unique_features: bool = False,
         result = (result - lo) / (hi - lo)
         result = result * (normalize[1] - normalize[0]) + normalize[0]
     return result.astype(np.float32)
+
+
+def st(x) -> str:
+    '''Shape/dtype one-liner for interactive debugging (reference __init__.py:73-83).'''
+    arr = np.asarray(x) if not hasattr(x, 'shape') else x
+    return f'{tuple(arr.shape)} {arr.dtype}'
+
+
+def mmm(x) -> str:
+    '''min/mean/max one-liner for interactive debugging (reference __init__.py:73-83).'''
+    arr = np.asarray(x, dtype=np.float64)
+    return f'min {arr.min():.5f} mean {arr.mean():.5f} max {arr.max():.5f}'
+
+
+def stmmm(x) -> str:
+    return f'{st(x)} {mmm(x)}'

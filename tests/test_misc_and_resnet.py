@@ -117,3 +117,10 @@ def test_resnet_matches_torchvision_weights():
     x = jnp.asarray(rng.rand(1, 5, 32, 32), jnp.float32)
     feats = resnet.forward(params, cfg, x)
     assert feats.shape == (1, 1024, 2, 2)
+
+
+def test_debug_helpers():
+    x = np.arange(6.0).reshape(2, 3)
+    assert misc.st(x) == '(2, 3) float64'
+    assert 'min 0.00000' in misc.mmm(x) and 'max 5.00000' in misc.mmm(x)
+    assert misc.stmmm(x).startswith('(2, 3)')

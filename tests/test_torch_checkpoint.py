@@ -91,3 +91,28 @@ def test_eval_cli_with_pth_resume(reference_pth, tmp_path):
     weighted, unweighted, df = test_driver.main(args, logger)
     assert len(df) > 0
     assert os.path.exists(os.path.join(args.log_path, 'itemized_results.csv'))
+
+
+def test_train_bootstrap_from_pth(reference_pth, tmp_path):
+    '''--resume <ref .pth> --name <new>: fine-tune a reference checkpoint into a fresh run
+    (bootstrap mode, args.py:308-312).'''
+    from tcow_tpu.data import synthetic
+    from tcow_tpu import config as config_lib
+    from tcow_tpu.train import driver
+    from tcow_tpu.utils.logvis import MyLogger
+    fp, _, _ = reference_pth
+    root = tmp_path / 'kub'
+    synthetic.write_synthetic_kubric_dataset(str(root), num_scenes=2, seed=51,
+                                             T=8, H=48, W=64, K=4)
+    args = config_lib.train_args([
+        '--name', 'boot1', '--data_path', str(root), '--resume', fp,
+        '--checkpoint_root', str(tmp_path / 'ck'), '--log_root', str(tmp_path / 'lg'),
+        '--batch_size', '2', '--num_queries', '1', '--num_frames', '6',
+        '--frame_height', '32', '--frame_width', '48', '--kubric_max_delay', '2',
+        '--num_epochs', '6', '--do_val_aug', '0', '--tracker_pretrained', '0',
+        '--network_depth', '12', '--num_workers', '1', '--compute_dtype', 'float32',
+        '--seed', '4'])
+    logger = MyLogger(args, context='train')
+    state = driver.main(args, logger)
+    # Resumed at epoch 5 (ckpt epoch 4 + 1): only one epoch of steps ran.
+    assert int(np.asarray(state.step)) == 1
