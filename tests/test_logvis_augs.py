@@ -110,3 +110,29 @@ def test_center_crop_aspect():
     out = pipe.apply_augs_2d_frames({'rgb': wide}, params)
     assert out['rgb'].shape == (3, 8, 24, 24)
     assert out['rgb'].mean() > 0.95  # crop kept the bright center
+
+
+def test_train_step_overlays_render(tmp_path):
+    '''handle_train_step must render all four overlay videos for kubric-shaped outputs
+    (failures are swallowed in production; here we assert the files appear).'''
+    import numpy as np
+    lg = MyLogger(log_dir=str(tmp_path), context='train')
+    lg.step_interval = 1
+    B, Q, C, T, H, W = 1, 2, 3, 4, 32, 48
+    rng = np.random.RandomState(0)
+    model_retval = {
+        'seeker_input': rng.rand(B, 3, T, H, W).astype(np.float32),
+        'output_mask': rng.randn(B, Q, C, T, H, W).astype(np.float32),
+        'seeker_query_mask': (rng.rand(B, Q, 1, T, H, W) > 0.9).astype(np.float32),
+        'target_mask': (rng.rand(B, Q, C, T, H, W) > 0.8).astype(np.float32),
+    }
+    loss_retval = {'total_seeker': 0.5, 'track': 0.4,
+                   'metrics': {'mean_snitch_iou': 0.1}}
+    lg.handle_train_step(0, 'train', 0, 0, 10, {'source_name': 'kubric'}, model_retval,
+                         loss_retval)
+    lg.epoch_finished(0)
+    names = sorted(os.listdir(lg.vis_dir))
+    assert any('_in.' in n for n in names)
+    assert any('_out_sn.' in n for n in names)
+    assert any('_out_oc.' in n for n in names)
+    assert any('_gt.' in n for n in names)
