@@ -87,8 +87,12 @@ class InferenceEngine:
         batch = {k: jnp.asarray(v) for k, v in device_batch.items()}
         aux = self._kubric_step(self.params, batch, jnp.float32(progress))
         aux = jax.device_get(aux)
+        if 'rgb' in device_batch:
+            seeker_input = device_batch['rgb']
+        else:
+            seeker_input = device_batch['rgb_u8'].astype(np.float32) / 255.0
         model_retval = {
-            'seeker_input': device_batch['rgb'],
+            'seeker_input': seeker_input,
             'output_mask': aux['output_mask'],
             'output_flags': aux['output_flags'],
             'target_mask': aux['target_mask'],

@@ -7,9 +7,11 @@ batch, its GPU-0 loss reduction (train.py:64-102) with SPMD all-reduce, and its 
 logic (train.py:91-92) with a lax-select on loss finiteness.
 
 Batch schema (all static shapes; instance axis padded to M, SURVEY.md section 7.3):
-  rgb           (B, 3, T, H, W) float32
+  rgb           (B, 3, T, H, W) float32  (or uint8 'rgb_u8': normalized on device)
   segm          (B, T, H, W)    int32   1-based visible instance IDs
-  div_segm      (B, M, T, H, W) uint8   amodal instance masks
+  div_segm      (B, M, T, H, W) uint8   amodal masks (or bit-packed 'div_segm_packed'
+                                        (B, M, T, H, W//8): unpacked on device — the masks
+                                        dominate host->device transfer otherwise)
   query_inds    (B, Q)          int32   host-sampled query instance indices
   query_time    ()              int32   shared query frame index
   occl_fracs    (B, M, T, 3)    float32
@@ -74,6 +76,22 @@ def _forward_queries(params, cfg: StepConfig, batch, sup, train: bool, rng):
     return out_mask, out_flags
 
 
+def unpack_batch(batch) -> Dict[str, Any]:
+    '''Expands on-device the compact transfer forms: bit-packed amodal masks and uint8 rgb
+    (cuts host->device bytes ~7x; the packing happens in the collate).'''
+    batch = dict(batch)
+    if 'div_segm_packed' in batch:
+        packed = batch.pop('div_segm_packed')                  # (B, M, T, H, W//8) uint8
+        shifts = (7 - jnp.arange(8, dtype=jnp.uint8))          # np.packbits is big-endian
+        bits = (packed[..., None] >> shifts) & jnp.uint8(1)
+        batch['div_segm'] = bits.reshape(*packed.shape[:-1], packed.shape[-1] * 8)
+    if 'rgb_u8' in batch:
+        batch['rgb'] = batch.pop('rgb_u8').astype(jnp.float32) / 255.0
+    if 'segm_u8' in batch:
+        batch['segm'] = batch.pop('segm_u8').astype(jnp.int32)
+    return batch
+
+
 def build_supervision(cfg: StepConfig, batch) -> Dict[str, jnp.ndarray]:
     return supervision.fill_query_target_batch(
         batch['segm'], batch['div_segm'], batch['query_inds'], batch['query_time'],
@@ -83,6 +101,7 @@ def build_supervision(cfg: StepConfig, batch) -> Dict[str, jnp.ndarray]:
 
 
 def _loss_and_aux(params, cfg: StepConfig, batch, rng, progress, train: bool):
+    batch = unpack_batch(batch)
     sup = build_supervision(cfg, batch)
     out_mask, out_flags = _forward_queries(params, cfg, batch, sup, train, rng)
 
@@ -140,6 +159,7 @@ def make_eval_step(cfg: StepConfig, return_outputs: bool = False):
         if not return_outputs:
             _, aux = _loss_and_aux(params, cfg, batch, None, progress, False)
             return aux
+        batch = unpack_batch(batch)
         sup = build_supervision(cfg, batch)
         out_mask, out_flags = _forward_queries(params, cfg, batch, sup, False, None)
         sel_occl_fracs = jax.vmap(lambda of, qi: of[qi])(batch['occl_fracs'],

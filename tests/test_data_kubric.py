@@ -134,14 +134,20 @@ def test_kubric_dataset_end_to_end(synth_dataset):
     assert item['occl_cont_dag'].shape == (8, 6, 6, 3)
     assert item['source_name'] == 'kubric'
 
-    batch = collate_kubric([ds[0], ds[1]], num_queries=2, phase='train',
+    items = [ds[0], ds[1]]
+    batch = collate_kubric(items, num_queries=2, phase='train',
                            rng=np.random.default_rng(0))
     assert batch['query_inds'].shape == (2, 2)
+    assert 'div_segm_packed' in batch and 'rgb_u8' in batch  # compact transfer forms
 
-    # The batch must drive the on-device supervision builder without empty targets.
+    # The batch must drive the on-device unpack + supervision builder without empty targets.
     from tcow_tpu.objectives import supervision
+    from tcow_tpu.train import step as step_lib
+    dev = step_lib.unpack_batch({k: jnp.asarray(v) for k, v in batch.items()})
+    np.testing.assert_array_equal(
+        np.asarray(dev['div_segm']), np.stack([it['div_segm'] for it in items]))
     sup = supervision.fill_query_target_batch(
-        jnp.asarray(batch['segm']), jnp.asarray(batch['div_segm']),
+        dev['segm'], dev['div_segm'],
         jnp.asarray(batch['query_inds']), jnp.int32(batch['query_time']),
         jnp.asarray(batch['occl_fracs']), jnp.asarray(batch['occl_cont_dag']))
     qm = np.asarray(sup['seeker_query_mask'])
