@@ -113,6 +113,9 @@ def train_args(argv=None):
     parser.add_argument('--outer_cont_thres', default=0.75, type=float)
     parser.add_argument('--remat', default=True, type=_str2bool,
                         help='Per-block rematerialization in the backward pass.')
+    parser.add_argument('--remat_group', default=1, type=int,
+                        help='Transformer blocks per checkpoint region (1 = per-block; '
+                             'larger trades activation memory for less recompute).')
     args = parser.parse_args(argv)
     verify_args(args, is_train=True)
     return args

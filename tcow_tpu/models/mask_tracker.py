@@ -48,6 +48,7 @@ class SeekerConfig:
     compute_dtype: Any = jnp.float32
     remat: bool = False  # per-block rematerialization in the backbone
     remat_policy: str = 'full'  # 'full' | 'dots' | 'dots_nb'
+    remat_group: int = 1  # blocks per checkpoint region (see TimeSformerConfig)
     use_pallas_attention: bool = False  # fused attention kernels (TPU; best for inference)
     batch_axis: Any = None  # mesh axis names for DP / sequence parallelism (see
     seq_axis: Any = None    # timesformer.TimeSformerConfig)
@@ -67,6 +68,7 @@ class SeekerConfig:
             norm_embeddings=self.norm_embeddings, drop_path_rate=self.drop_path_rate,
             normalize_inputs=self.pretrained, compute_dtype=self.compute_dtype,
             remat=self.remat, remat_policy=self.remat_policy,
+            remat_group=self.remat_group,
             use_pallas_attention=self.use_pallas_attention,
             batch_axis=self.batch_axis, seq_axis=self.seq_axis)
 

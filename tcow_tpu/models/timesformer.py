@@ -59,6 +59,8 @@ class TimeSformerConfig:
     compute_dtype: Any = jnp.float32  # jnp.bfloat16 for speed on TPU
     remat: bool = False  # rematerialize each block in the backward pass (saves HBM)
     remat_policy: str = 'full'  # 'full' | 'dots' (save matmul outputs, recompute the rest)
+    remat_group: int = 1  # blocks per checkpoint region: G>1 halves/quarters the recompute
+    #   overhead (only group boundaries are saved) at G x the per-region activation memory
     use_pallas_attention: bool = False  # fused VMEM-resident attention kernels (TPU only)
     # Sequence parallelism (Ulysses-style for divided attention, SURVEY.md section 5.7):
     # when seq_axis names a mesh axis (caller must be under jax.set_mesh of an Auto-axes
@@ -411,10 +413,24 @@ def forward(params: Dict[str, Any], cfg: TimeSformerConfig, pixels: jnp.ndarray,
         block_rngs = None
     block_fn = _divided_block if cfg.divided else _joint_block
 
+    # Group G consecutive blocks into one scan step (and one checkpoint region when
+    # remat is on): the backward pass then recomputes each block at most once instead of
+    # once per downstream block boundary, trading G x the per-region activation memory
+    # for ~(G-1)/G of the recompute savings.
+    G = max(1, int(cfg.remat_group))
+    assert L % G == 0, (L, G)
+    scanned_leaves = (params['blocks'], dprs, block_rngs)
+    if G > 1:
+        scanned_leaves = jax.tree_util.tree_map(
+            lambda a: a.reshape((L // G, G) + a.shape[1:]), scanned_leaves)
+
     def body(carry, scanned):
         xs, cls = carry
-        p_l, dpr_l, rngs_l = scanned
-        xs, cls = block_fn(p_l, xs, cls, cfg, dpr_l, rngs_l)
+        p_g, dpr_g, rngs_g = scanned
+        for i in range(G):
+            take = lambda a: jax.tree_util.tree_map(lambda x: x[i], a) if G > 1 else a
+            xs, cls = block_fn(take(p_g), xs, cls, cfg, take(dpr_g),
+                               take(rngs_g) if rngs_g is not None else None)
         return (xs, cls), None
 
     if cfg.remat:
@@ -437,7 +453,7 @@ def forward(params: Dict[str, Any], cfg: TimeSformerConfig, pixels: jnp.ndarray,
                   }[cfg.remat_policy]
         body = jax.checkpoint(body, prevent_cse=False, policy=policy)
 
-    (xs, cls), _ = jax.lax.scan(body, (xs, cls), (params['blocks'], dprs, block_rngs))
+    (xs, cls), _ = jax.lax.scan(body, (xs, cls), scanned_leaves)
 
     if cfg.norm_embeddings:
         xs = layer_norm(xs, params['norm'], cfg.ln_eps)

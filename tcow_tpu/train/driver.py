@@ -42,6 +42,7 @@ def build_seeker_config(args, seeker_args: Dict[str, Any], mesh=None) -> SeekerC
         compute_dtype=jnp.bfloat16 if getattr(args, 'compute_dtype', 'bfloat16')
         == 'bfloat16' else jnp.float32,
         remat=getattr(args, 'remat', True),
+        remat_group=getattr(args, 'remat_group', 1),
         remat_policy='dots_nb' if jax.default_backend() == 'tpu' else 'full',
         use_pallas_attention=jax.default_backend() == 'tpu',
         batch_axis=mesh_lib.DATA_AXIS if mesh is not None else None,

@@ -175,3 +175,26 @@ def test_multi_resolution_eval_nonsquare_grid():
     feats, cls = tsf.forward(params, cfg, x)
     assert feats.shape == (1, 32, 4, 4, 6)
     assert np.isfinite(np.asarray(feats)).all()
+
+
+def test_remat_group_gradient_equivalence():
+    '''remat_group batches G blocks per checkpoint region; gradients must be identical to
+    the per-block default (G=1) since grouping only changes what is saved vs recomputed.'''
+    import dataclasses
+    cfg1 = tsf.TimeSformerConfig(frame_height=32, frame_width=48, num_frames=4, depth=4,
+                                 embed_dim=64, num_heads=4, causal_attention=1,
+                                 drop_path_rate=0.0, remat=True, remat_policy='dots_nb')
+    params = tsf.init_params(jax.random.key(0), cfg1)
+    x = jax.random.normal(jax.random.key(1), (2, 4, 4, 32, 48))
+
+    def loss(p, cfg):
+        feats, _ = tsf.forward(p, cfg, x, train=False)
+        return (feats.astype(jnp.float32) ** 2).mean()
+
+    g1 = jax.jit(jax.grad(loss), static_argnums=1)(params, cfg1)
+    for G in (2, 4):
+        gG = jax.jit(jax.grad(loss), static_argnums=1)(
+            params, dataclasses.replace(cfg1, remat_group=G))
+        err = max(jax.tree_util.tree_leaves(jax.tree_util.tree_map(
+            lambda a, b: float(jnp.abs(a - b).max()), g1, gG)))
+        assert err < 1e-6, (G, err)
