@@ -15,6 +15,17 @@ This is a NEW capability over the reference enabled by its temporally-causal att
   - decode head is per-frame.
 
 Outputs are verified to match the batch causal forward exactly (tests/test_streaming.py).
+
+Windowed mode (`window=`) bounds the cache for arbitrarily long videos: the first
+`pinned_frames` frames (which carry the query identity and the frozen cls chain) stay
+resident forever, while the remaining `window - pinned_frames` slots form a ring buffer of
+the most recent frames. Per-frame latency and memory are then O(window) regardless of video
+length; time embeddings clamp to the last trained index for frames beyond the training
+horizon. Within the first `window` frames the windowed and unbounded paths are bit-identical
+(softmax is permutation-invariant over cache slots). Beyond it, each block's cached KVs were
+computed from frames in THEIR window, so the output's receptive field reaches back at most
+`depth * (window - pinned - 1)` recent frames plus the pinned prefix (dilated-conv style) —
+both properties are covered by tests/test_streaming.py.
 '''
 
 from typing import Any, Dict, NamedTuple, Optional, Tuple
@@ -34,10 +45,19 @@ class StreamState(NamedTuple):
 
 
 def init_stream(params: Dict[str, Any], cfg: mt.SeekerConfig, batch_size: int,
-                max_frames: Optional[int] = None) -> StreamState:
+                max_frames: Optional[int] = None, window: Optional[int] = None,
+                pinned_frames: int = 1) -> StreamState:
+    '''With `window=None`, the cache holds `max_frames or cfg.num_frames` slots and frame t
+    writes slot t (exact unbounded attention up to the cache size). With `window=S`, the
+    cache holds S slots: `pinned_frames` permanent + an (S - pinned_frames)-slot ring of the
+    most recent frames, supporting videos of ANY length at O(S) memory.'''
     bb = cfg.backbone_config()
     assert bb.causal_attention == 1, 'streaming requires causal_attention == 1'
-    Tmax = max_frames or bb.num_frames
+    if window is not None:
+        assert window > pinned_frames >= 1, (window, pinned_frames)
+        Tmax = window
+    else:
+        Tmax = max_frames or bb.num_frames
     L, B, N, D = bb.depth, batch_size, bb.num_patches, bb.embed_dim
     dt = bb.compute_dtype
     return StreamState(
@@ -54,9 +74,11 @@ def _qkv_heads(p, x, nh):
     return qkv[..., :D], qkv[..., D:2 * D], qkv[..., 2 * D:]
 
 
-def _attend_cached(q, k_all, v_all, nh, t, Tmax):
-    '''q (B, N, D) over cached keys/values (B, N, Tmax, D), valid length t+1.'''
+def _attend_cached(q, k_all, v_all, nh, valid):
+    '''q (B, N, D) over cached keys/values (B, N, S, D); `valid` (S,) bool marks the
+    populated cache slots (slot order is irrelevant: softmax is permutation-invariant).'''
     B, N, D = q.shape
+    Tmax = k_all.shape[2]
     dh = D // nh
     scale = dh ** -0.5
     qh = q.reshape(B, N, nh, dh)
@@ -64,7 +86,6 @@ def _attend_cached(q, k_all, v_all, nh, t, Tmax):
     vh = v_all.reshape(B, N, Tmax, nh, dh)
     logits = jnp.einsum('bnhd,bnthd->bnht', qh, kh,
                         preferred_element_type=jnp.float32) * scale
-    valid = jnp.arange(Tmax) <= t
     logits = jnp.where(valid[None, None, None, :], logits, jnp.float32(-1e10))
     probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
     out = jnp.einsum('bnht,bnthd->bnhd', probs, vh)
@@ -77,12 +98,15 @@ def _spatial_attend(p, seq, nh):
 
 
 def stream_step(params: Dict[str, Any], cfg: mt.SeekerConfig, state: StreamState,
-                frame_rgb: jnp.ndarray, query_mask: jnp.ndarray
+                frame_rgb: jnp.ndarray, query_mask: jnp.ndarray,
+                window: Optional[int] = None, pinned_frames: int = 1
                 ) -> Tuple[StreamState, jnp.ndarray, Optional[jnp.ndarray]]:
     '''Process ONE frame.
 
     :param frame_rgb (B, 3, H, W) float in [0, 1].
     :param query_mask (B, 1, H, W): the query at its frame, zeros elsewhere.
+    :param window/pinned_frames: static ints; MUST match the init_stream call. None = the
+        unbounded (exact) mode. Mark them static when jitting.
     :return (new_state, mask_logits (B, C, H, W), flags (B, F) or None).
     '''
     bb = cfg.backbone_config()
@@ -110,8 +134,25 @@ def stream_step(params: Dict[str, Any], cfg: mt.SeekerConfig, state: StreamState
     pos = tsf.resize_pos_embed(bparams['pos_embed'], gh, gw,
                                src_grid=(bb.grid_h, bb.grid_w)).astype(x.dtype)
     x = x + pos[None, 1:]
-    time = tsf.nearest_resize_1d(bparams['time_embed'], Tmax, axis=0).astype(x.dtype)
-    x = x + time[t][None, None, :]
+    if window is None:
+        # Unbounded mode: cache slot == frame index; the time embedding is nearest-resized
+        # to the cache size (identity when Tmax == num_frames, matching the batch forward).
+        time = tsf.nearest_resize_1d(bparams['time_embed'], Tmax, axis=0).astype(x.dtype)
+        time_idx = t
+        slot = t
+        valid = jnp.arange(Tmax) <= t
+    else:
+        # Windowed mode: pinned prefix + ring of recent frames; time embeddings clamp to
+        # the last trained index for frames beyond the training horizon.
+        P = pinned_frames
+        R = window - P
+        assert Tmax == window, (Tmax, window)
+        time = bparams['time_embed'].astype(x.dtype)
+        time_idx = jnp.minimum(t, time.shape[0] - 1)
+        slot = jnp.where(t < P, t, P + (t - P) % R)
+        n_ring = jnp.clip(t + 1 - P, 0, R)
+        valid = jnp.concatenate([jnp.arange(P) <= t, jnp.arange(R) < n_ring])
+    x = x + time[time_idx][None, None, :]
 
     cls0 = (bparams['cls_token'].astype(x.dtype) + pos[0])[None, :].repeat(B, axis=0)
 
@@ -127,9 +168,9 @@ def stream_step(params: Dict[str, Any], cfg: mt.SeekerConfig, state: StreamState
         # Temporal attention with KV cache.
         y = tsf.layer_norm(xs, pb['temporal_norm1'], bb.ln_eps)
         q, k, v = _qkv_heads(pb['temporal_attn'], y, nh)
-        k_all = jax.lax.dynamic_update_index_in_dim(k_cache_l, k, t, axis=2)
-        v_all = jax.lax.dynamic_update_index_in_dim(v_cache_l, v, t, axis=2)
-        res_t = _attend_cached(q, k_all, v_all, nh, t, Tmax)
+        k_all = jax.lax.dynamic_update_index_in_dim(k_cache_l, k, slot, axis=2)
+        v_all = jax.lax.dynamic_update_index_in_dim(v_cache_l, v, slot, axis=2)
+        res_t = _attend_cached(q, k_all, v_all, nh, valid)
         res_t = tsf._dense(res_t, pb['temporal_attn']['proj'])
         res_t = tsf._dense(res_t, pb['temporal_fc'])
         xt = xs + res_t

@@ -71,3 +71,68 @@ def test_streaming_prefix_invariance(setup):
     out6 = run(6)
     for t in range(3):
         np.testing.assert_allclose(out3[t], out6[t], rtol=1e-6)
+
+
+def test_windowed_matches_unbounded_before_wrap(setup):
+    '''With window=S, outputs are identical to the unbounded cache while t < S (the ring
+    has not evicted anything yet; slot order differences are softmax-invariant).'''
+    cfg, params = setup
+    B, T, H, W = 1, 6, 32, 48
+    S = 4
+    rng = np.random.RandomState(3)
+    rgb = jnp.asarray(rng.rand(B, 3, T, H, W), jnp.float32)
+    q = jnp.zeros((B, 1, H, W))
+    qq = q.at[:, :, 4:12, 8:24].set(1.0)
+
+    full = streaming.init_stream(params, cfg, B, max_frames=T)
+    ring = streaming.init_stream(params, cfg, B, window=S, pinned_frames=1)
+    for t in range(S):
+        qt = qq if t == 0 else q
+        full, m_full, f_full = streaming.stream_step(params, cfg, full, rgb[:, :, t], qt)
+        ring, m_ring, f_ring = streaming.stream_step(params, cfg, ring, rgb[:, :, t], qt,
+                                                     window=S, pinned_frames=1)
+        np.testing.assert_allclose(np.asarray(m_ring), np.asarray(m_full),
+                                   rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(f_ring), np.asarray(f_full),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_windowed_long_video_depends_only_on_receptive_field(setup):
+    '''Beyond the window, the output depends only on the pinned frames + a bounded recent
+    receptive field: block l's cached KVs are computed from frames in THEIR window, so
+    information reaches back at most depth * (ring - 1) frames (dilated-conv style). Two
+    videos agreeing on frame 0 and on frames > t_final - depth*(ring-1) must produce the
+    same final output. Also exercises length >> num_frames (time-embed clamp).'''
+    cfg, params = setup
+    B, H, W = 1, 32, 48
+    T_total, S, P = 14, 4, 1  # 14 frames >> num_frames=6 and >> window=4
+    L, R = 3, S - P  # network_depth=3 blocks
+    horizon = (T_total - 1) - L * (R - 1)  # = 7: earliest frame reaching output 13
+    rng = np.random.RandomState(4)
+    rgb_a = rng.rand(B, 3, T_total, H, W).astype(np.float32)
+    rgb_b = rgb_a.copy()
+    # Perturb only frames strictly before the receptive-field horizon (and not pinned).
+    rgb_b[:, :, 2:horizon] = rng.rand(B, 3, horizon - 2, H, W).astype(np.float32)
+    q = jnp.zeros((B, 1, H, W))
+    qq = q.at[:, :, 4:12, 8:24].set(1.0)
+
+    step = jax.jit(
+        lambda s, f, qm: streaming.stream_step(params, cfg, s, f, qm, window=S,
+                                               pinned_frames=P))
+
+    def run(rgb):
+        state = streaming.init_stream(params, cfg, B, window=S, pinned_frames=P)
+        for t in range(T_total):
+            state, m, f = step(state, jnp.asarray(rgb[:, :, t]), qq if t == 0 else q)
+        return np.asarray(m), np.asarray(f)
+
+    m_a, f_a = run(rgb_a)
+    m_b, f_b = run(rgb_b)
+    assert np.isfinite(m_a).all() and np.isfinite(f_a).all()
+    np.testing.assert_allclose(m_a, m_b, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(f_a, f_b, rtol=1e-5, atol=1e-6)
+    # Sanity: a video differing INSIDE the window does change the output.
+    rgb_c = rgb_a.copy()
+    rgb_c[:, :, T_total - 1] = rng.rand(B, 3, H, W).astype(np.float32)
+    m_c, _ = run(rgb_c)
+    assert np.abs(m_c - m_a).max() > 1e-4

@@ -27,7 +27,11 @@ def main():
     p.add_argument('--query', required=True, help='query mask png')
     p.add_argument('--query_frame', type=int, required=True)
     p.add_argument('--max_frames', type=int, default=-1,
-                   help='frames to process after the query frame; -1 = model capacity')
+                   help='frames to process after the query frame; -1 = model capacity '
+                        '(or the whole video with --window)')
+    p.add_argument('--window', type=int, default=0,
+                   help='>0: windowed KV cache (pinned query frame + ring of window-1 '
+                        'recent frames) -> videos of ANY length at O(window) memory')
     p.add_argument('--out', default='stream_out.webm')
     p.add_argument('--checkpoint_root', default='checkpoints/')
     p.add_argument('--device', default='')
@@ -63,10 +67,16 @@ def main():
     assert cap.isOpened(), a.video
     qmask_img = cv2.imread(a.query, cv2.IMREAD_GRAYSCALE)
 
-    T = cfg.num_total_frames if a.max_frames < 0 else a.max_frames
-    state = streaming.init_stream(params, cfg, batch_size=1, max_frames=T)
-    step = jax.jit(lambda p, s, f, q: streaming.stream_step(p, cfg, s, f, q),
-                   donate_argnums=(1,))
+    if a.window > 0:
+        T = a.max_frames if a.max_frames > 0 else 10 ** 9  # bounded by the video length
+        state = streaming.init_stream(params, cfg, batch_size=1, window=a.window)
+        step = jax.jit(lambda p, s, f, q: streaming.stream_step(
+            p, cfg, s, f, q, window=a.window), donate_argnums=(1,))
+    else:
+        T = cfg.num_total_frames if a.max_frames < 0 else a.max_frames
+        state = streaming.init_stream(params, cfg, batch_size=1, max_frames=T)
+        step = jax.jit(lambda p, s, f, q: streaming.stream_step(p, cfg, s, f, q),
+                       donate_argnums=(1,))
 
     frames_out = []
     t_model = 0
