@@ -186,3 +186,40 @@ def test_compute_losses_runs_and_total():
     assert abs(float(res['total_seeker']) - total) < 1e-6
     assert res['snitch_weights'].shape == (B, Q, T, H, W)
     assert np.isfinite(total)
+
+
+def test_focal_loss_matches_torchvision_semantics():
+    '''sigmoid_focal_loss must match torchvision.ops.sigmoid_focal_loss (reduction='none'),
+    the reference's loss when --focal_loss (loss.py:197 equivalent).'''
+    import torch
+    rng = np.random.RandomState(11)
+    x = rng.randn(4, 7).astype(np.float32) * 3
+    y = (rng.rand(4, 7) > 0.5).astype(np.float32)
+    got = np.asarray(L.sigmoid_focal_loss(jnp.asarray(x), jnp.asarray(y)))
+    try:
+        from torchvision.ops import sigmoid_focal_loss as tv_focal
+        want = tv_focal(torch.tensor(x), torch.tensor(y), reduction='none').numpy()
+    except ImportError:
+        p = torch.sigmoid(torch.tensor(x))
+        ce = torch.nn.functional.binary_cross_entropy_with_logits(
+            torch.tensor(x), torch.tensor(y), reduction='none')
+        p_t = p * torch.tensor(y) + (1 - p) * (1 - torch.tensor(y))
+        want = (ce * ((1 - p_t) ** 2))
+        alpha_t = 0.25 * torch.tensor(y) + 0.75 * (1 - torch.tensor(y))
+        want = (alpha_t * want).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_compute_losses_focal_variant():
+    '''--focal_loss flips the pixel loss; totals must stay finite and differ from BCE.'''
+    rng = np.random.RandomState(12)
+    B, Q, C, T, H, W = 1, 1, 3, 4, 16, 16
+    out = jnp.asarray(rng.randn(B, Q, C, T, H, W), jnp.float32)
+    tgt = jnp.asarray((rng.rand(B, Q, C, T, H, W) > 0.5), jnp.float32)
+    occ = jnp.zeros((B, Q, T, 3), jnp.float32)
+    ptr = -jnp.ones((B, Q, T, H, W), jnp.float32)
+    r_bce = L.compute_losses(L.LossConfig(), out, tgt, occ, ptr, jnp.int32(0), 0.5)
+    r_foc = L.compute_losses(L.LossConfig(focal_loss=True), out, tgt, occ, ptr,
+                             jnp.int32(0), 0.5)
+    assert np.isfinite(float(r_foc['total_seeker']))
+    assert abs(float(r_foc['total_seeker']) - float(r_bce['total_seeker'])) > 1e-4

@@ -6,6 +6,7 @@ the 8-device CPU mesh (equivalence with single-device), checkpoint roundtrip, LR
 import numpy as np
 import pytest
 import jax
+import optax
 import jax.numpy as jnp
 
 import conftest  # noqa: F401
@@ -144,3 +145,19 @@ def test_multistep_schedule():
     assert np.isclose(sched(28 * 10), 1e-4 * 0.3)    # at milestone
     assert np.isclose(sched(42 * 10), 1e-4 * 0.09)   # after 3/5
     assert np.isclose(sched(56 * 10), 1e-4 * 0.027)  # after 4/5
+
+
+@pytest.mark.parametrize('name', ['sgd', 'adam', 'adamw', 'lamb'])
+def test_all_optimizer_types_step(name):
+    '''Every reference optimizer choice (args.py --optimizer) must build and take a
+    finite step that changes the params.'''
+    from tcow_tpu.train import optim
+    tx = optim.make_optimizer(name, learn_rate=1e-3, num_epochs=10, steps_per_epoch=5)
+    params = {'w': jnp.ones((4, 4)), 'b': jnp.zeros((4,))}
+    opt_state = tx.init(params)
+    grads = {'w': jnp.full((4, 4), 0.5), 'b': jnp.full((4,), -0.25)}
+    updates, _ = tx.update(grads, opt_state, params)
+    new_params = optax.apply_updates(params, updates)
+    for k in params:
+        assert np.isfinite(np.asarray(new_params[k])).all()
+        assert np.abs(np.asarray(new_params[k]) - np.asarray(params[k])).max() > 0
