@@ -161,3 +161,38 @@ def test_all_optimizer_types_step(name):
     for k in params:
         assert np.isfinite(np.asarray(new_params[k])).all()
         assert np.abs(np.asarray(new_params[k]) - np.asarray(params[k])).max() > 0
+
+
+def _to_compact(batch_np):
+    '''Reproduces collate_kubric's compact transfer forms from a legacy-schema batch.'''
+    b = dict(batch_np)
+    b['rgb_u8'] = np.clip(b.pop('rgb') * 255.0, 0, 255).astype(np.uint8)
+    b['div_segm_packed'] = np.packbits(b.pop('div_segm'), axis=-1)
+    b['segm_u8'] = b.pop('segm').astype(np.uint8)
+    return b
+
+
+def test_compact_batch_matches_legacy_and_shards(small_model):
+    '''The compact transfer schema (uint8 rgb + packed masks) must produce the same step
+    as the legacy float schema — both single-device and sharded over the 8-device mesh.
+    uint8 quantization of rgb is the one intended difference, so quantize the legacy rgb
+    identically before comparing.'''
+    cfg, tx, state = make_cfg_and_state()
+    batch_np = tiny_batch(B=8, seed=5)
+    compact = _to_compact(batch_np)
+    legacy = dict(batch_np)
+    legacy['rgb'] = compact['rgb_u8'].astype(np.float32) / 255.0
+
+    train_step = jax.jit(step_lib.make_train_step(cfg, tx))
+    s_leg, a_leg = train_step(state, {k: jnp.asarray(v) for k, v in legacy.items()},
+                              jnp.float32(0.0))
+    s_cmp, a_cmp = train_step(state, {k: jnp.asarray(v) for k, v in compact.items()},
+                              jnp.float32(0.0))
+    np.testing.assert_allclose(float(a_cmp['total_seeker']), float(a_leg['total_seeker']),
+                               rtol=1e-6)
+
+    mesh = mesh_lib.make_mesh()
+    state_r = mesh_lib.replicate_tree(state, mesh)
+    s8, a8 = train_step(state_r, mesh_lib.shard_batch(compact, mesh), jnp.float32(0.0))
+    np.testing.assert_allclose(float(a8['total_seeker']), float(a_leg['total_seeker']),
+                               rtol=1e-5)
