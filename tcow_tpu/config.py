@@ -131,6 +131,10 @@ def test_args(argv=None):
     parser.add_argument('--store_results', default=False, type=_str2bool)
     parser.add_argument('--annots_must_exist', default=False, type=_str2bool)
     parser.add_argument('--extra_visuals', default=False, type=_str2bool)
+    parser.add_argument('--stream_window', default=0, type=int,
+                        help='>0: evaluate plugin videos by windowed STREAMING over every '
+                             'frame (pinned query + ring KV cache of this many frames) '
+                             'instead of usage-mode clip subsampling.')
     parser.add_argument('--plugin_batch', default=4, type=int,
                         help='Usage modes evaluated per device step for plugin videos '
                              '(batched multi-stride inference; the reference runs 1).')

@@ -216,6 +216,63 @@ class PluginVideoDataset:
             'target': aug['target_mask'].astype(np.float32),    # (3, T, Hf, Wf)
         }
 
+    def get_streaming_example(self) -> Dict:
+        '''Full-rate arrays for streaming (windowed KV cache) evaluation: EVERY video frame
+        from the first annotated query onward, resized to the model resolution, the query
+        injected at its true timestamp and sparse targets (-1 = unannotated) at theirs.
+        No temporal subsampling — the streaming path ingests the whole video, which the
+        clip-based reference protocol cannot (it enumerates (start, stride<=10) usage
+        modes instead, data_plugin.py:135-143).'''
+        raw_frames = self.raw_frames if self.prefetch else self._get_raw_frames()
+        Hf, Wf = self.frame_height, self.frame_width
+        query_frame = min(self.raw_query_frames.keys())
+        inds = list(range(query_frame, self.num_video_frames))
+
+        def crop(img):
+            if not self.center_crop:
+                return img
+            H1, W1 = img.shape[:2]
+            want_ar = Wf / Hf
+            if W1 / H1 > want_ar:
+                cw = int(H1 * want_ar)
+                x0 = (W1 - cw) // 2
+                return img[:, x0:x0 + cw]
+            ch = int(W1 / want_ar)
+            y0 = (H1 - ch) // 2
+            return img[y0:y0 + ch]
+
+        rgb = np.stack([crop(raw_frames[t]) for t in inds]).astype(np.float32)
+        if rgb.max() > 1.5:
+            rgb = rgb / 255.0
+        rgb = augs_lib.resize_frames(rgb.transpose(3, 0, 1, 2), Hf, Wf, nearest=False)
+
+        N = len(inds)
+        query = np.zeros((1, N, Hf, Wf), np.float32)
+        qraw = crop(self.raw_query_frames[query_frame])[..., 0:1]
+        query[0, 0] = augs_lib.resize_frames(
+            qraw.transpose(2, 0, 1)[:, None].astype(np.float32), Hf, Wf, nearest=True)[0, 0]
+        target = -np.ones((3, N, Hf, Wf), np.float32)
+        for c, frames in enumerate((self.raw_snitch_frames, self.raw_occl_frames,
+                                    self.raw_cont_frames)):
+            for t, v in frames.items():
+                if query_frame <= t < self.num_video_frames:
+                    m = crop(v)[..., 0:1].transpose(2, 0, 1)[:, None].astype(np.float32)
+                    target[c, t - query_frame] = augs_lib.resize_frames(
+                        m, Hf, Wf, nearest=True)[0, 0]
+        annotated = sorted({t - query_frame for fr in (self.raw_snitch_frames,
+                                                       self.raw_occl_frames,
+                                                       self.raw_cont_frames)
+                            for t in fr if query_frame <= t < self.num_video_frames})
+        return {
+            'source_name': 'plugin', 'src_path': self.src_path, 'dset_idx': 0,
+            'scene_idx': 0, 'frame_start': query_frame, 'frame_stride': 1,
+            'query_frame': query_frame, 'num_frames': N,
+            'rgb': rgb,                    # (3, N, Hf, Wf) float32
+            'query': query,                # (1, N, Hf, Wf), query at position 0
+            'target': target,              # (3, N, Hf, Wf), -1 = unannotated
+            'annotated_inds': np.asarray(annotated, np.int32),
+        }
+
     def _get_raw_frames(self):
         if os.path.isdir(self.src_path):
             return data_utils.read_all_images(

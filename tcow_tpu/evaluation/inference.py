@@ -109,6 +109,59 @@ class InferenceEngine:
         }
         return model_retval, loss_retval
 
+    def run_plugin_stream(self, ex: Dict[str, Any], window: int, pinned_frames: int = 1):
+        '''Windowed streaming over a FULL video (any length): one stream_step per frame,
+        scored at the annotated frames. `ex` is PluginVideoDataset.get_streaming_example().
+        Returns (model_retval, loss_retval) in the plugin schema, restricted to the
+        annotated frames. New capability: the reference can only evaluate fixed-T clip
+        subsamplings (usage modes).'''
+        import functools
+        import jax
+        import jax.numpy as jnp
+        from tcow_tpu.models import streaming
+        if self.cfg.causal_attention != 1:
+            raise ValueError('streaming evaluation requires a causal_attention=1 '
+                             f'checkpoint (got {self.cfg.causal_attention})')
+        rgb, query, target = ex['rgb'], ex['query'], ex['target']
+        N = rgb.shape[1]
+        ann = [int(t) for t in ex['annotated_inds']]
+        state = streaming.init_stream(self.params, self.cfg, batch_size=1, window=window,
+                                      pinned_frames=pinned_frames)
+        step = jax.jit(functools.partial(streaming.stream_step, window=window,
+                                         pinned_frames=pinned_frames),
+                       static_argnums=(1,), donate_argnums=(2,))
+        outs, flags = {}, {}
+        for t in range(N):
+            state, m, f = step(self.params, self.cfg, state,
+                               jnp.asarray(rgb[None, :, t]), jnp.asarray(query[None, :, t]))
+            if t in ann:
+                outs[t] = np.asarray(m[0])
+                flags[t] = None if f is None else np.asarray(f[0])
+        out_mask = np.stack([outs[t] for t in ann], axis=1)[None]      # (1, C, F, H, W)
+        tgt = np.stack([target[:, t] for t in ann], axis=1)[None]      # (1, 3, F, H, W)
+        qm = np.stack([query[:, t] for t in ann], axis=1)[None]
+        in_rgb = np.stack([rgb[:, t] for t in ann], axis=1)[None]
+        sums = jax.device_get(self._plugin_metric_sums(jnp.asarray(out_mask),
+                                                       jnp.asarray(tgt)))
+        model_retval = {
+            'seeker_input': in_rgb,
+            'output_mask': out_mask,
+            'output_flags': None if flags.get(ann[0]) is None
+            else np.stack([flags[t] for t in ann])[None],
+            'target_mask': tgt,
+            'seeker_query_mask': qm,
+            'annotated_inds': np.asarray(ann, np.int32),
+        }
+        loss_retval = {'metrics': metrics_lib.finalize_metric_sums(sums)}
+        return model_retval, loss_retval
+
+    def _plugin_metric_sums(self, out_mask, target):
+        import jax
+        if not hasattr(self, '_metric_fn'):
+            self._metric_fn = jax.jit(lambda o, t: metrics_lib.mask_track_metric_sums(
+                o[:, None], t[:, None]))
+        return self._metric_fn(out_mask, target)
+
     def run_plugin(self, rgb: np.ndarray, query: np.ndarray, target: np.ndarray):
         '''Batched usage modes -> per-example (model_retval, loss_retval) lists.'''
         import jax

@@ -99,6 +99,29 @@ def _test_inner_plugin(all_args, engine, dataset, logger, step_offset):
     return retvals
 
 
+def _test_inner_plugin_stream(all_args, engine, dataset, logger, step_offset,
+                              window: int):
+    '''Streaming evaluation of a plugin video: windowed KV-cached inference over EVERY
+    frame (no usage-mode subsampling), scored at the annotated frames. One retval per
+    video (new capability over the reference's clip protocol).'''
+    ex = dataset.get_streaming_example()
+    model_retval, loss_retval = engine.run_plugin_stream(ex, window=window)
+    retval = {
+        'source_name': 'plugin',
+        'dset_idx': 0,
+        'scene_idx': 0,
+        'loss_retval': loss_retval,
+    }
+    data_retval = {k: ex[k] for k in ('source_name', 'src_path', 'dset_idx', 'scene_idx',
+                                      'frame_start', 'frame_stride')}
+    data_retval['frame_stride'] = 0  # marks the streaming protocol in friendly names
+    retval['friendly_short_name'] = logger.handle_test_step(
+        step_offset, data_retval, model_retval, loss_retval)
+    if all_args['test'].store_results:
+        logger.save_pickle(retval, f'results/inference_retval_s{step_offset}.p')
+    return [retval]
+
+
 def _test_postprocess(inference_retvals, logger):
     '''Aggregation + CSV export + self-check (test.py:121-163).'''
     metrics_retvals = [r['loss_retval']['metrics'] for r in inference_retvals]
@@ -193,7 +216,11 @@ def main(test_args, logger):
             train_args, test_args, train_dset_args, logger, data_path=cur_data_path)
         if outer_step == 0:
             logger.info('Final (first) test dataset args: ' + str(test_dset_args))
-        if 'plugin' in test_dset_args:
+        stream_window = int(getattr(test_args, 'stream_window', 0) or 0)
+        if 'plugin' in test_dset_args and stream_window > 0:
+            cur = _test_inner_plugin_stream(all_args, engine, loader.dataset, logger,
+                                            step_offset, stream_window)
+        elif 'plugin' in test_dset_args:
             cur = _test_inner_plugin(all_args, engine, loader.dataset, logger, step_offset)
         else:
             cur = _test_inner_kubric(all_args, engine, loader, logger, step_offset)

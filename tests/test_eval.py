@@ -113,3 +113,42 @@ def test_eval_plugin_demo(trained_ckpt, tmp_path, tiny_preset):
     assert (df['source'] == 'plugin').all()
     # Untrained net on annotated frames: counts present, ious within range.
     assert weighted['count_snitch_iou'] >= 0
+
+
+def test_eval_plugin_streaming(trained_ckpt, tmp_path, tiny_preset):
+    '''--stream_window: windowed KV-cached streaming over EVERY video frame instead of
+    usage-mode clip subsampling; one retval per video, scored at annotated frames.'''
+    from tcow_tpu import config as config_lib
+    from tcow_tpu.evaluation import test_driver
+    from tcow_tpu.utils.logvis import MyLogger
+    demo_mp4 = os.path.join(conftest.REPO_ROOT, 'demo', 'rollball.mp4')
+    if not os.path.exists(demo_mp4):
+        pytest.skip('demo assets missing')
+    argv = ['--resume', 'tev1', '--name', 'ev_stream', '--data_path', demo_mp4,
+            '--checkpoint_root', trained_ckpt, '--log_root', str(tmp_path / 'logs'),
+            '--num_queries', '1', '--num_workers', '1', '--compute_dtype', 'float32',
+            '--avoid_wandb', '2', '--stream_window', '6']
+    test_args = config_lib.test_args(argv)
+    logger = MyLogger(test_args, context='test_' + test_args.name)
+    weighted, unweighted, df = test_driver.main(test_args, logger)
+    assert len(df) == 1  # ONE row per video (full coverage), not one per usage mode
+    assert (df['source'] == 'plugin').all()
+    # All annotated target frames are scored (the clip protocol can only cover a subset).
+    assert weighted['count_snitch_iou'] >= 2
+    assert 0.0 <= weighted['mean_snitch_iou'] <= 1.0
+    assert df.iloc[0]['friendly_short_name'].endswith('_s0')  # stride 0 = streaming marker
+
+
+def test_streaming_eval_rejects_noncausal(trained_ckpt, tiny_preset):
+    '''Streaming requires causal_attention=1; anything else must fail fast and clearly.'''
+    import dataclasses
+    import jax
+    from tcow_tpu.evaluation import inference as inference_lib
+    from tcow_tpu.objectives.losses import LossConfig
+    params, cfg, *_ = inference_lib.load_networks(
+        os.path.join(trained_ckpt, 'tev1'), None)
+    engine = inference_lib.InferenceEngine(
+        params, dataclasses.replace(cfg, causal_attention=0), LossConfig(), 1)
+    with pytest.raises(ValueError, match='causal_attention=1'):
+        engine.run_plugin_stream({'rgb': None, 'query': None, 'target': None,
+                                  'annotated_inds': []}, window=6)
