@@ -122,9 +122,12 @@ class InferenceEngine:
         if self.cfg.causal_attention != 1:
             raise ValueError('streaming evaluation requires a causal_attention=1 '
                              f'checkpoint (got {self.cfg.causal_attention})')
+        ann = [int(t) for t in ex['annotated_inds']]
+        if not ann:
+            raise ValueError('streaming evaluation needs at least one annotated target '
+                             'frame (found none after the query frame)')
         rgb, query, target = ex['rgb'], ex['query'], ex['target']
         N = rgb.shape[1]
-        ann = [int(t) for t in ex['annotated_inds']]
         state = streaming.init_stream(self.params, self.cfg, batch_size=1, window=window,
                                       pinned_frames=pinned_frames)
         step = jax.jit(functools.partial(streaming.stream_step, window=window,
