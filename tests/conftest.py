@@ -27,3 +27,49 @@ REFERENCE_ROOT = '/root/reference'
 
 def has_reference() -> bool:
     return os.path.isdir(REFERENCE_ROOT)
+
+
+# ---------------------------------------------------------------------------
+# Fast/slow split: `pytest -m "not slow"` is the quick iteration loop (~2 min on a 1-core
+# host); the full suite runs everything. Tests are marked here centrally by measured
+# duration (>= ~10 s on the CI host) rather than decorating each file.
+# ---------------------------------------------------------------------------
+
+_SLOW_EXACT = {
+    'test_golden_parity_vs_reference[0-divided_space_time]',
+    'test_golden_parity_vs_reference[1-divided_space_time]',
+    'test_temporal_causality[1]',
+    'test_temporal_causality[2]',
+    'test_temporal_causality[3]',
+    'test_non_causal_has_future_gradients[0]',
+    'test_non_causal_has_future_gradients[-1]',
+    'test_golden_parity_vs_reference[3-divided_space_time]',
+}
+
+_SLOW_BASE = {
+    'test_train_bootstrap_from_pth',
+    'test_pth_loads_and_matches_torch_backbone',
+    'test_seeker_shapes_and_coarsening',
+    'test_remat_group_gradient_equivalence',
+    'test_backbone_shapes_divided',
+    'test_compact_batch_matches_legacy_and_shards',
+    'test_data_parallel_matches_single_device',
+    'test_train_step_nan_skip',
+    'test_train_step_runs_and_learns',
+    'test_full_seeker_parity_vs_torch',
+    'test_seq4_sequence_parallel_train_step_small',
+    'test_streaming_prefix_invariance',
+    'test_windowed_matches_unbounded_before_wrap',
+    'test_driver_trains_and_resumes',
+    'test_resnet_shapes_and_channel_swap',
+    'test_eval_cli_with_pth_resume',
+    'test_backbone_shapes_joint',
+    'test_param_count_matches_reference_scale',
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+    for item in items:
+        if item.name in _SLOW_EXACT or item.name.split('[')[0] in _SLOW_BASE:
+            item.add_marker(pytest.mark.slow)
