@@ -137,6 +137,10 @@ def _test_postprocess(inference_retvals, logger):
         logger.info(f'weighted_mean_{k} (over {final_weighted[f"count_{k}"]:.0f} frames): '
                     f'{final_weighted[f"mean_{k}"]:.5f}')
 
+    for k in sorted(metrics_lib.METRIC_KEYS):  # wandb run-summary values (test.py:126)
+        logger.report_single_scalar(f'weighted_mean_{k}', final_weighted[f'mean_{k}'])
+        logger.report_single_scalar(f'unweighted_mean_{k}', final_unweighted[f'mean_{k}'])
+
     df = test_results_to_dataframe(inference_retvals)
     csv_fp = os.path.join(logger.log_dir, 'itemized_results.csv')
     df.to_csv(csv_fp)
@@ -192,6 +196,13 @@ def main(test_args, logger):
     import jax.numpy as jnp
     logger.save_args(test_args, 'test')
     np.random.seed(test_args.seed)
+
+    avoid_wandb = int(getattr(test_args, 'avoid_wandb', 0))
+    if avoid_wandb < 2:
+        logger.init_wandb('tcow', test_args, name=test_args.name or None,
+                          group=getattr(test_args, 'wandb_group', 'test'))
+    logger.log_media_online = (avoid_wandb == 0)
+    logger.extra_visuals = bool(getattr(test_args, 'extra_visuals', False))
 
     logger.info('Initializing model...')
     compute_dtype = jnp.bfloat16 if test_args.compute_dtype == 'bfloat16' else jnp.float32

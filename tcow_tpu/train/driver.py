@@ -100,6 +100,14 @@ def main(args, logger):
     np.random.seed(args.seed)
     random.seed(args.seed)
 
+    # wandb gradations (args.py:69-70 / logvisgen.py:126-147): 0 = scalars + media online,
+    # 1 = scalars only, 2 = fully offline (scalars.jsonl is always written regardless).
+    avoid_wandb = int(getattr(args, 'avoid_wandb', 0))
+    if avoid_wandb < 2:
+        logger.init_wandb('tcow', args, name=args.name or None,
+                          group=getattr(args, 'wandb_group', 'train'))
+    logger.log_media_online = (avoid_wandb == 0)
+
     # Mesh + model. The data axis must divide the global batch size; shrink it if needed.
     n_dev = args.mesh_devices if args.mesh_devices > 0 else len(jax.devices())
     n_data = max(n_dev // args.seq_shards, 1)
@@ -147,6 +155,7 @@ def main(args, logger):
 
     train_step = jax.jit(step_lib.make_train_step(step_cfg, tx), donate_argnums=(0,))
     eval_step = jax.jit(step_lib.make_eval_step(step_cfg))
+    vis_step = jax.jit(step_lib.make_vis_step(step_cfg))
     state = mesh_lib.replicate_tree(state, mesh)
 
     import threading
@@ -186,7 +195,7 @@ def main(args, logger):
         for epoch in range(start_epoch, args.num_epochs):
             state = _run_one_epoch(args, logger, mesh, state, train_step, None,
                                    train_loader, 'train', epoch, steps_per_epoch,
-                                   total_steps_all)
+                                   total_steps_all, vis_step=vis_step)
             checkpoint_fn(epoch, final=(epoch == args.num_epochs - 1))
             logger.epoch_finished(epoch)
             if epoch % args.val_every == 0:
@@ -204,7 +213,7 @@ def main(args, logger):
 
 
 def _run_one_epoch(args, logger, mesh, state, train_step, eval_step, loader, phase, epoch,
-                   steps_per_epoch, total_steps_all):
+                   steps_per_epoch, total_steps_all, vis_step=None):
     import jax
     import jax.numpy as jnp
     logger.info('=' * 32)
@@ -247,6 +256,16 @@ def _run_one_epoch(args, logger, mesh, state, train_step, eval_step, loader, pha
                 _log_step_scalars(logger, phase, epoch, pending_step, len(loader),
                                   pending_aux)
             pending_aux, pending_step = aux, cur_step
+            # Train-time overlay videos every step_interval steps (the reference's primary
+            # visual oracle, train.py:74 -> logvis.py:176-308).
+            if is_train and vis_step is not None \
+                    and cur_step % logger.step_interval == 0:
+                try:
+                    _render_train_overlays(logger, args, phase, epoch, cur_step,
+                                           total_step, steps_per_epoch, state, vis_step,
+                                           batch, device_batch, progress)
+                except Exception as e:  # visualization must never kill training
+                    logger.warning(f'train-step visualization failed: {e}')
         except Exception as e:
             num_exceptions += 1
             if num_exceptions >= 20:
@@ -262,6 +281,35 @@ def _run_one_epoch(args, logger, mesh, state, train_step, eval_step, loader, pha
         jax.profiler.stop_trace()
     logger.commit_scalars(step=epoch)
     return state
+
+
+def _render_train_overlays(logger, args, phase, epoch, cur_step, total_step,
+                           steps_per_epoch, state, vis_step, batch, device_batch,
+                           progress):
+    '''Runs the compact visualization forward on the current batch and hands the result to
+    MyLogger.handle_train_step (reference train.py:74). Outputs arrive as float16 slices
+    (example 0, first 2 queries) to keep the host fetch small.'''
+    import jax
+    import jax.numpy as jnp
+    vis = jax.device_get(vis_step(state.params, device_batch, jnp.float32(progress)))
+    dev = batch['device']
+    rgb = dev['rgb'][0:1] if 'rgb' in dev \
+        else dev['rgb_u8'][0:1].astype(np.float32) / 255.0
+    model_retval = {
+        'seeker_input': rgb,
+        'output_mask': vis['output_mask'],
+        'target_mask': vis['target_mask'],
+        'seeker_query_mask': vis['seeker_query_mask'],
+    }
+    if vis.get('snitch_weights') is not None:
+        model_retval['snitch_weights'] = vis['snitch_weights']
+    loss_retval = {
+        'total_seeker': float(vis['total_seeker']),
+        'track': float(vis['track']),
+        'metrics': metrics_lib.finalize_metric_sums(vis['metric_sums']),
+    }
+    logger.handle_train_step(epoch, phase, cur_step, total_step, steps_per_epoch,
+                             batch.get('meta', {}), model_retval, loss_retval, args)
 
 
 def _log_step_scalars(logger, phase, epoch, cur_step, steps_total, aux):

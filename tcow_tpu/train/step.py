@@ -182,6 +182,31 @@ def make_eval_step(cfg: StepConfig, return_outputs: bool = False):
     return eval_step
 
 
+def make_vis_step(cfg: StepConfig, max_queries: int = 2):
+    '''Compact payload for train-time overlay rendering (the reference renders overlays
+    from the training forward's outputs every step_interval steps, train.py:74 ->
+    logvis.py:176-308). The jitted train step never materializes per-pixel outputs on
+    host, so visualization runs this separate eval forward at interval steps; outputs are
+    sliced to example 0 / the first max_queries queries and cast to float16 on device to
+    keep the host fetch small.'''
+    eval_step = make_eval_step(cfg, return_outputs=True)
+
+    def vis_step(params, batch, progress):
+        out = eval_step(params, batch, progress)
+        f16 = lambda x: None if x is None else x[0:1, :max_queries].astype(jnp.float16)
+        return {
+            'track': out['track'], 'occl_mask': out['occl_mask'],
+            'cont_mask': out['cont_mask'], 'total_seeker': out['total_seeker'],
+            'metric_sums': out['metric_sums'],
+            'output_mask': f16(out['output_mask']),
+            'target_mask': f16(out['target_mask']),
+            'seeker_query_mask': f16(out['seeker_query_mask']),
+            'snitch_weights': f16(out.get('snitch_weights')),
+        }
+
+    return vis_step
+
+
 def make_inference_step(cfg: SeekerConfig):
     '''Plugin-style inference: (params, rgb (B,3,T,H,W), query (B,1,T,H,W)) ->
     (mask logits (B,3,T,H,W), flags (B,T,F)). Matches the reference forward_plugin

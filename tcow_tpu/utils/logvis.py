@@ -60,6 +60,9 @@ class Logger:
         self._logger = _make_console_logger(log_dir, context, log_level)
         self._scalar_memory = defaultdict(list)        # key -> [(value, weight)]
         self._wandb = None
+        # --avoid_wandb gradations (args.py:69-70): 1 keeps scalars online but not media.
+        self.log_media_online = True
+        self.extra_visuals = False
         self._pool = concurrent.futures.ThreadPoolExecutor(max_workers=2)
         self._pending = []
 
@@ -85,11 +88,16 @@ class Logger:
         try:
             import wandb
         except ImportError:
-            self.warning('wandb unavailable; online logging disabled.')
+            self.warning('wandb unavailable; online logging disabled '
+                         '(scalars still land in scalars.jsonl).')
+            return
+        try:
+            wandb.init(project=project, group=group, name=name,
+                       config={k: str(v) for k, v in vars(args).items()})
+        except Exception as e:
+            self.warning(f'wandb.init failed ({e}); online logging disabled.')
             return
         self._wandb = wandb
-        wandb.init(project=project, group=group, name=name,
-                   config={k: str(v) for k, v in vars(args).items()})
 
     # ------------------------------------------------------------------ scalars
     def _append_scalars_jsonl(self, payload: Dict[str, float], step: Optional[int]):
@@ -163,19 +171,39 @@ class Logger:
         return fp
 
     def save_video(self, frames: np.ndarray, file_name: str, fps: int = 12,
-                   asynchronous: bool = True):
-        '''(T, H, W, 3) float or uint8 frames -> webm (VP8) or mp4 under visuals/.'''
+                   asynchronous: bool = True, online_name: Optional[str] = None):
+        '''(T, H, W, 3) float or uint8 frames -> webm (VP8) or mp4 under visuals/.
+        With online_name and active wandb (and log_media_online), also logs the written
+        file online (logvisgen.py:275-351 semantics, thread pool instead of mp.Process).'''
         if not self.vis_dir:
             return None
         fp = os.path.join(self.vis_dir, file_name)
         frames = np.asarray(frames)
-        if frames.dtype in (np.float32, np.float64):
-            frames = (np.clip(frames, 0, 1) * 255).astype(np.uint8)
+        if frames.dtype in (np.float16, np.float32, np.float64):
+            frames = (np.clip(frames.astype(np.float32), 0, 1) * 255).astype(np.uint8)
         if asynchronous:
-            self._pending.append(self._pool.submit(_write_video, fp, frames, fps))
+            fut = self._pool.submit(_write_video, fp, frames, fps)
+            if online_name:
+                fut.add_done_callback(
+                    lambda f: self._log_video_online(f, online_name, fps))
+            self._pending.append(fut)
         else:
             fp = _write_video(fp, frames, fps)
+            if online_name and self._wandb is not None and self.log_media_online:
+                try:
+                    self._wandb.log({online_name: self._wandb.Video(fp, fps=fps)})
+                except Exception as e:
+                    self.warning(f'online video logging failed: {e}')
         return fp
+
+    def _log_video_online(self, fut, online_name: str, fps: int):
+        if self._wandb is None or not self.log_media_online:
+            return
+        try:
+            fp = fut.result()
+            self._wandb.log({online_name: self._wandb.Video(fp, fps=fps)})
+        except Exception as e:
+            self.warning(f'online video logging failed: {e}')
 
     def save_gallery(self, images: np.ndarray, file_name: str, num_cols: int = 4):
         '''(N, H, W, 3) -> tiled grid image.'''
@@ -273,11 +301,15 @@ class MyLogger(Logger):
 
     def _save_query_overlays(self, phase, epoch, cur_step, data_retval, model_retval,
                              name_override: Optional[str] = None):
-        to_np = lambda x: np.asarray(x)
+        to_np = lambda x: np.asarray(x, np.float32)
         rgb = to_np(model_retval['seeker_input'])        # (B, 3, T, H, W)
         out_mask = to_np(model_retval['output_mask'])    # (B, Q, C, T, H, W) or (B, C, T, H, W)
         qmask = to_np(model_retval['seeker_query_mask'])
         tmask = to_np(model_retval.get('target_mask', out_mask * 0))
+        slw = model_retval.get('snitch_weights')         # (B, Q, T, H, W) or None
+        slw = None if slw is None else to_np(slw)
+        is_test = 'test' in phase
+        online = self._wandb is not None and self.log_media_online
         if out_mask.ndim == 5:
             out_mask = out_mask[:, None]
             qmask = qmask[:, None]
@@ -303,16 +335,39 @@ class MyLogger(Logger):
             # 3-channel hierarchy, and ground-truth overlay.
             vid_in = visualization.create_model_input_video(
                 rgb_t.copy(), qm, visualization.draw_segm_borders(qm[..., None], False))
-            self.save_video(vid_in, f'{name}_q{q}_in.webm', fps=6)
+            self.save_video(vid_in, f'{name}_q{q}_in.webm', fps=6,
+                            online_name=f'in_p{phase}' if online else None)
             vid_sn = visualization.create_model_output_snitch_video(
                 rgb_t, om, query_border, snitch_border)
-            self.save_video(vid_sn, f'{name}_q{q}_out_sn.webm', fps=6)
+            self.save_video(vid_sn, f'{name}_q{q}_out_sn.webm', fps=6,
+                            online_name=f'out_p{phase}_sn' if online else None)
             vid_oc = visualization.create_model_output_snitch_occl_cont_video(
                 rgb_t, om, query_border, snitch_border, front_border, outer_border,
                 grayscale=False)
-            self.save_video(vid_oc, f'{name}_q{q}_out_oc.webm', fps=6)
+            self.save_video(vid_oc, f'{name}_q{q}_out_oc.webm', fps=6,
+                            online_name=f'out_p{phase}_oc' if online else None)
+            if slw is not None and not is_test:
+                # Per-pixel snitch loss-weight heatmap (logvis.py:210-211, train only).
+                vid_slw = visualization.create_snitch_weights_video(rgb_t, slw[b, q])
+                self.save_video(vid_slw, f'{name}_q{q}_slw.webm', fps=6)
+            vid_gt = None
             if tm.max() > 0:
                 vid_gt = visualization.create_model_input_target_video(
                     rgb_t, qm, tm, query_border, snitch_border, front_border,
                     outer_border)
                 self.save_video(vid_gt, f'{name}_q{q}_gt.webm', fps=6)
+            if is_test and self.extra_visuals:
+                # Raw-channel + concatenated debug products (logvis.py:221-237).
+                extras = [np.stack([tm[1], tm[0], tm[2]], axis=-1) if tm.shape[0] >= 3
+                          else np.repeat(tm[0][..., None], 3, -1),
+                          np.stack([om[1], om[0], om[2]], axis=-1) if om.shape[0] >= 3
+                          else np.repeat(om[0][..., None], 3, -1)]
+                pause = np.concatenate([vid_oc[0:1]] * 3 + [vid_oc[1:]], axis=0)
+                extras.append(np.concatenate([vid_in, vid_oc], axis=0))
+                extras.append(np.concatenate([vid_in, pause], axis=2))
+                if vid_gt is not None:
+                    gt_pause = np.concatenate([vid_gt[0:1]] * 3 + [vid_gt[1:]], axis=0)
+                    extras.append(np.concatenate([gt_pause, vid_oc], axis=0))
+                    extras.append(np.concatenate([gt_pause, pause], axis=2))
+                for i, vis in enumerate(extras):
+                    self.save_video(vis, f'{name}_q{q}_extra{i}.webm', fps=6)

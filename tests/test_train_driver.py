@@ -46,14 +46,51 @@ def tiny_preset():
     tsf.DEPTH_PRESETS.update(old)
 
 
-def test_driver_trains_and_resumes(synth_root, tmp_path, tiny_preset):
+class _FakeWandb(types.ModuleType):
+    '''Stand-in for the wandb package (absent in this image) to verify the online-logging
+    contract (--avoid_wandb 0/1/2, reference args.py:69-70).'''
+
+    def __init__(self):
+        super().__init__('wandb')
+        self.init_calls = []
+        self.logged = []
+        self.run = types.SimpleNamespace(summary={})
+
+    def init(self, **kw):
+        self.init_calls.append(kw)
+
+    def log(self, payload, step=None):
+        self.logged.append(payload)
+
+    def Video(self, fp, fps=None):
+        return ('video', fp)
+
+
+def test_driver_trains_and_resumes(synth_root, tmp_path, tiny_preset, monkeypatch):
+    import sys
     from tcow_tpu.train import driver
     from tcow_tpu.utils.logvis import MyLogger
+
+    fake_wandb = _FakeWandb()
+    monkeypatch.setitem(sys.modules, 'wandb', fake_wandb)
 
     args = make_args(synth_root, tmp_path)
     logger = MyLogger(args, context='train')
     state = driver.main(args, logger)
     assert int(np.asarray(state.step)) == 2 * 2  # 4 scenes / batch 2 = 2 steps x 2 epochs
+
+    # Train-time overlay videos (reference train.py:74 -> logvis.py:176-308): interval
+    # steps render input/output/target/loss-weight products under logs/<name>/visuals/.
+    vis_dir = os.path.join(str(tmp_path / 'logs'), 'tdrv1', 'visuals')
+    written = os.listdir(vis_dir)
+    for suffix in ('_in', '_out_sn', '_out_oc', '_gt', '_slw'):
+        assert any(f'_q0{suffix}.' in f for f in written), (suffix, written)
+
+    # wandb contract at avoid_wandb=0: init called, scalars + media logged online.
+    assert fake_wandb.init_calls and fake_wandb.init_calls[0]['project'] == 'tcow'
+    assert any('train/loss_total_seeker' in d for d in fake_wandb.logged)
+    assert any(any(isinstance(v, tuple) and v[0] == 'video' for v in d.values())
+               for d in fake_wandb.logged)
 
     ckpt_dir = os.path.join(str(tmp_path / 'checkpoints'), 'tdrv1')
     assert os.path.exists(os.path.join(ckpt_dir, 'checkpoint.npz'))
