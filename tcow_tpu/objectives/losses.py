@@ -44,6 +44,14 @@ class LossConfig:
     hard_negative_factor: float = 3.0
     front_occl_thres: float = 0.95
     outer_cont_thres: float = 0.75
+    # Reference-exact compatibility: loss.py:78 down-weights the query frame with a STALE
+    # loop variable (`frame_weights[b, :, query_time]` after the b-loop ends), so only the
+    # LAST example in the (sub)batch is affected. Under the reference's DataParallel config
+    # every GPU shard has B=1, making the bug invisible there — so this package's default
+    # (all examples down-weighted) matches the reference's effective per-device behavior.
+    # Set True only to reproduce the reference's unsharded-batch output bit-for-bit
+    # (tests/test_pipeline_parity.py).
+    qt_downweight_last_only: bool = False
 
 
 def bce_with_logits(logits, targets):
@@ -110,8 +118,11 @@ def mask_track_frame_weights(sel_occl_fracs, query_time, cfg: LossConfig):
     '''(B, Q, T, 3) occl fracs -> (B, Q, T) frame weights (loss.py:55-81).'''
     w = sel_occl_fracs[..., 0] * cfg.occluded_weight
     w = jnp.clip(w, min=1.0)
-    T = w.shape[-1]
+    B, _, T = w.shape
     is_qt = (jnp.arange(T) == query_time)  # query_time may be traced
+    if cfg.qt_downweight_last_only and B > 1:
+        # Reference-exact: loss.py:78's stale-variable indexing hits example B-1 only.
+        is_qt = is_qt & (jnp.arange(B) == B - 1)[:, None, None]
     return jnp.where(is_qt, w * 0.2, w)
 
 

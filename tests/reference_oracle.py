@@ -57,6 +57,101 @@ def import_reference_timesformer():
     return ref_vit
 
 
+def _stub_reference_runtime_deps():
+    '''Stubs the reference's import-time dependencies that are absent in this image:
+    lovely_numpy/lovely_tensors (debug pretty-printers), torchvision (only ToTensor is
+    instantiated on the pipeline path), timm (only used for pretrained downloads).'''
+    if 'timm' not in sys.modules:
+        _stub('timm')
+    if 'lovely_numpy' not in sys.modules:
+        _stub('lovely_numpy', lo=lambda x, *a, **k: x)
+    if 'lovely_tensors' not in sys.modules:
+        _stub('lovely_tensors', monkey_patch=lambda *a, **k: None,
+              lovely=lambda x, *a, **k: x)
+    if 'torchvision' not in sys.modules:
+        class _ToTensor:
+            def __call__(self, x):
+                raise NotImplementedError('torchvision stub')
+        tv = _stub('torchvision')
+        tv.__path__ = []
+        for sub in ('datasets', 'io', 'models', 'utils'):
+            _stub(f'torchvision.{sub}')
+            setattr(tv, sub, sys.modules[f'torchvision.{sub}'])
+        tr = _stub('torchvision.transforms', ToTensor=_ToTensor)
+        fn = _stub('torchvision.transforms.functional',
+                   gaussian_blur=_gaussian_blur_torch)
+        tr.functional = fn
+        tv.transforms = tr
+
+
+def _gaussian_blur_torch(img, kernel_size, sigma):
+    '''torchvision.transforms.functional.gaussian_blur semantics for tensors: normalized
+    separable gaussian kernel, reflect padding, depthwise conv2d (used by the reference's
+    hard-negative band, loss.py:136-146).'''
+    import torch
+    import torch.nn.functional as F
+    kx, ky = (kernel_size, kernel_size) if isinstance(kernel_size, int) else kernel_size
+    if isinstance(sigma, (int, float)):
+        sx = sy = float(sigma)
+    else:
+        sx, sy = (float(sigma[0]), float(sigma[-1]))
+
+    def k1d(k, s):
+        half = (k - 1) * 0.5
+        x = torch.linspace(-half, half, steps=k)
+        pdf = torch.exp(-0.5 * (x / s) ** 2)
+        return pdf / pdf.sum()
+
+    orig_dtype = img.dtype
+    x = img if torch.is_floating_point(img) else img.to(torch.float32)
+    kernel2d = torch.outer(k1d(ky, sy), k1d(kx, sx)).to(x.dtype)
+    shape = x.shape
+    x = x.reshape(1, -1, shape[-2], shape[-1])
+    C = x.shape[1]
+    weight = kernel2d.expand(C, 1, ky, kx)
+    x = F.pad(x, [kx // 2, kx // 2, ky // 2, ky // 2], mode='reflect')
+    x = F.conv2d(x, weight, groups=C).reshape(shape)
+    if not torch.is_floating_point(img):
+        x = x.round().to(orig_dtype)
+    return x
+
+
+class FakeRefLogger:
+    '''Minimal logger duck-type for the reference pipeline/loss classes.'''
+
+    def info(self, *a, **k):
+        pass
+
+    debug = warning = error = info
+
+    def report_scalar(self, *a, **k):
+        pass
+
+
+def import_reference_pipeline():
+    '''Imports the reference's ACTUAL pipeline/loss/metrics/data_utils/seeker modules
+    (flat layout rooted at /root/reference with sys.path side-loading, __init__.py:61-66).
+    Returns a namespace object with the imported modules.'''
+    import_reference_timesformer()  # fvcore stub + third_party on sys.path
+    _stub_reference_runtime_deps()
+    ref_root = os.path.dirname(REFERENCE_TIMESFORMER.rstrip('/'))
+    ref_root = os.path.dirname(ref_root)  # /root/reference
+    for sub in ('', 'data', 'eval', 'model', 'utils'):
+        p = os.path.join(ref_root, sub) if sub else ref_root
+        if p not in sys.path:
+            sys.path.insert(0, p)
+    import pipeline as ref_pipeline
+    import loss as ref_loss
+    import metrics as ref_metrics
+    import data_utils as ref_data_utils
+    import my_utils as ref_my_utils
+    import seeker as ref_seeker
+    ns = types.SimpleNamespace(
+        pipeline=ref_pipeline, loss=ref_loss, metrics=ref_metrics,
+        data_utils=ref_data_utils, my_utils=ref_my_utils, seeker=ref_seeker)
+    return ns
+
+
 def make_reference_backbone(frame_height, frame_width, patch_size, in_channels, num_frames,
                             attention_type, causal_attention, network_depth):
     '''Constructs the vendored TimeSformer with drop_path disabled for deterministic eval.'''
