@@ -15,7 +15,11 @@ import json
 import sys
 import time
 
-A6000_BASELINE_CLIPS_PER_SEC = 0.55  # see BASELINE.md "reference throughput estimate"
+# FLOP-derived estimate (40% MFU torch on A6000); cross-checked by a same-host CPU
+# torch-vs-JAX step-time ratio showing torch is the faster framework per FLOP on CPU,
+# so this denominator is not inflated by framework asymmetry. See BASELINE.md
+# "reference throughput estimate" + "same-host CPU cross-check"; tools/baseline_anchor.py.
+A6000_BASELINE_CLIPS_PER_SEC = 0.55
 
 
 def main():
