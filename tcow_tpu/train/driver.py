@@ -148,6 +148,9 @@ def main(args, logger):
             p, _, ckpt = torch_import.load_tcow_checkpoint(args.resume)
             state = state._replace(params=p)
             start_epoch = int(ckpt.get('epoch', -1)) + 1
+            logger.warning('Resuming from a torch .pth checkpoint: parameters restored, '
+                           'but optimizer/LR-schedule state is REINITIALIZED (cross-'
+                           'framework resume cannot translate torch optimizer state).')
         else:
             loaded = ckpt_lib.load_checkpoint(args.resume, state_template=state)
             state = loaded['state']

@@ -61,6 +61,7 @@ _SLOW_BASE = {
     'test_streaming_prefix_invariance',
     'test_windowed_matches_unbounded_before_wrap',
     'test_driver_trains_and_resumes',
+    'test_multihost_smoke',
     'test_resnet_shapes_and_channel_swap',
     'test_eval_cli_with_pth_resume',
     'test_backbone_shapes_joint',

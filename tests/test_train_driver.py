@@ -106,3 +106,24 @@ def test_driver_trains_and_resumes(synth_root, tmp_path, tiny_preset, monkeypatc
 
     # args txt + log file written
     assert os.path.exists(os.path.join(str(tmp_path / 'logs'), 'tdrv1', 'args_train.txt'))
+
+
+def test_multihost_smoke(synth_root, tmp_path, tiny_preset, monkeypatch):
+    '''--multihost initializes jax.distributed before building the mesh (driver.py; the
+    real coordinator env comes from the TPU runtime) and training proceeds single-process
+    when initialize is a no-op. Mocked because no second host exists here (SURVEY.md 5.8).'''
+    import jax
+    from tcow_tpu.train import driver
+    from tcow_tpu.utils.logvis import MyLogger
+
+    calls = []
+    monkeypatch.setattr(jax.distributed, 'initialize', lambda *a, **k: calls.append(1))
+
+    args = make_args(synth_root, tmp_path, name='tmh1')
+    args.multihost = True
+    args.num_epochs = 1
+    args.do_val_aug = False
+    logger = MyLogger(args, context='train')
+    state = driver.main(args, logger)
+    assert calls == [1]
+    assert int(np.asarray(state.step)) == 2  # 4 scenes / batch 2 = 2 steps x 1 epoch
