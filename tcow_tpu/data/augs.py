@@ -219,7 +219,7 @@ class AugmentationPipeline:
                 if params['rgb_blur']:
                     x = gaussian_blur(x, rng)
                 if params['rgb_grayscale']:
-                    x = np.repeat(_rgb_to_gray(x).transpose(0, 3, 1, 2), 3, axis=1)
+                    x = np.repeat(_rgb_to_gray(x), 3, axis=1)  # (T,1,H,W) -> (T,3,H,W)
 
             if params['horz_flip']:
                 x = x[..., ::-1]

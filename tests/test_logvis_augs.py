@@ -101,6 +101,20 @@ def test_apply_flip_and_nearest_resize():
     assert set(np.unique(out['segm'])) <= {0, 7}
 
 
+def test_grayscale_aug_preserves_shape():
+    '''Regression: the p=0.05 rgb_grayscale branch used a bogus transpose that exploded the
+    channel axis ((T,1,H,W)->(T,W,1,H) before the repeat), crashing any item that drew it.'''
+    pipe = make_pipeline(do_random_augs=False)
+    params = pipe.sample_augs_params(np.random.default_rng(0))
+    params['rgb_grayscale'] = True
+    rng = np.random.default_rng(1)
+    rgb = rng.random((3, 10, 24, 32)).astype(np.float32)
+    out = pipe.apply_augs_2d_frames({'rgb': rgb}, params)
+    assert out['rgb'].shape == (3, 8, 24, 32)
+    np.testing.assert_allclose(out['rgb'][0], out['rgb'][1], atol=1e-6)  # r == g == b
+    np.testing.assert_allclose(out['rgb'][1], out['rgb'][2], atol=1e-6)
+
+
 def test_center_crop_aspect():
     pipe = make_pipeline(do_random_augs=False, augs_2d=False, center_crop=True,
                          frame_height=24, frame_width=24)  # square target
