@@ -34,7 +34,8 @@ def main():
     seeker = SeekerConfig(num_total_frames=T, frame_height=H, frame_width=W,
                           causal_attention=1, drop_path_rate=0.1, network_depth=12,
                           compute_dtype=jnp.bfloat16, remat=True,
-                          remat_policy='dots_nb', use_pallas_attention=True)
+                          remat_policy='dots_nb_out', use_pallas_attention=True,
+                          attention_bwd='kernel_x')
     cfg = step_lib.StepConfig(seeker=seeker, loss=LossConfig(), num_queries=Q)
     tx = optim.make_optimizer('adamw', learn_rate=1e-4, num_epochs=70, steps_per_epoch=1000)
     state = step_lib.init_train_state(jax.random.key(0), cfg, tx)

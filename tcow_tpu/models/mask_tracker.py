@@ -50,6 +50,7 @@ class SeekerConfig:
     remat_policy: str = 'full'  # 'full' | 'dots' | 'dots_nb'
     remat_group: int = 1  # blocks per checkpoint region (see TimeSformerConfig)
     use_pallas_attention: bool = False  # fused attention kernels (TPU; best for inference)
+    attention_bwd: str = 'res'  # 'res' | 'kernel_qkv' | 'kernel_x' (ops/pallas_attention.py)
     batch_axis: Any = None  # mesh axis names for DP / sequence parallelism (see
     seq_axis: Any = None    # timesformer.TimeSformerConfig)
 
@@ -70,6 +71,7 @@ class SeekerConfig:
             remat=self.remat, remat_policy=self.remat_policy,
             remat_group=self.remat_group,
             use_pallas_attention=self.use_pallas_attention,
+            attention_bwd=self.attention_bwd,
             batch_axis=self.batch_axis, seq_axis=self.seq_axis)
 
 

@@ -62,6 +62,7 @@ class TimeSformerConfig:
     remat_group: int = 1  # blocks per checkpoint region: G>1 halves/quarters the recompute
     #   overhead (only group boundaries are saved) at G x the per-region activation memory
     use_pallas_attention: bool = False  # fused VMEM-resident attention kernels (TPU only)
+    attention_bwd: str = 'res'  # 'res' | 'kernel_qkv' | 'kernel_x' (pallas_attention.py)
     # Sequence parallelism (Ulysses-style for divided attention, SURVEY.md section 5.7):
     # when seq_axis names a mesh axis (caller must be under jax.set_mesh of an Auto-axes
     # mesh), the patch axis is sharded over it during temporal attention and the frame axis
@@ -173,7 +174,8 @@ def _dense(x, p):
     return jnp.einsum('...d,de->...e', x, p['w'].astype(x.dtype)) + p['b'].astype(x.dtype)
 
 
-def attention(p, x, num_heads: int, causal_attention: int = 0, use_pallas: bool = False):
+def attention(p, x, num_heads: int, causal_attention: int = 0, use_pallas: bool = False,
+              attention_bwd: str = 'res'):
     '''Multi-head self-attention over the second-to-last axis.
 
     Mirrors reference `Attention.forward` (vit.py:78-123): qkv projection with bias, scale
@@ -189,11 +191,15 @@ def attention(p, x, num_heads: int, causal_attention: int = 0, use_pallas: bool 
     '''
     *lead, S, D = x.shape
     if use_pallas:
+        from jax.ad_checkpoint import checkpoint_name
         from tcow_tpu.ops import pallas_attention as pa
         flat = x.reshape(-1, S, D)
         out = pa.fused_attention(flat, p['qkv']['w'], p['qkv']['b'],
                                  p['proj']['w'], p['proj']['b'],
-                                 num_heads, causal_attention)
+                                 num_heads, causal_attention, attention_bwd)
+        # Named so the 'dots_nb_out*' remat policies can keep the attention output across
+        # the per-block checkpoint boundary (no forward-kernel re-run in the backward).
+        out = checkpoint_name(out, 'attn_out')
         return out.reshape(*lead, S, D)
     dh = D // num_heads
     scale = dh ** -0.5
@@ -302,7 +308,8 @@ def _divided_block(p, xs, cls, cfg: TimeSformerConfig, dpr, rngs):
     xs = _seq_constrain(xs, cfg)  # shard patches; temporal attention is local per patch
     y = layer_norm(xs, p['temporal_norm1'], cfg.ln_eps)
     res_t = attention(p['temporal_attn'], y, nh, causal_attention=ca,
-                      use_pallas=cfg.use_pallas_attention)
+                      use_pallas=cfg.use_pallas_attention,
+                      attention_bwd=cfg.attention_bwd)
     res_t = drop_path(res_t, dpr, r('t'), row_ndim=2)  # independent mask per (b, n)
     res_t = _dense(res_t, p['temporal_fc'])
     xt = xs + res_t
@@ -314,7 +321,8 @@ def _divided_block(p, xs, cls, cfg: TimeSformerConfig, dpr, rngs):
         cls_rep = jnp.broadcast_to(cls[:, None, None, :], (B, T, 1, D))
         seq = jnp.concatenate([cls_rep, xsp], axis=2)  # (B, T, N+1, D)
         res_sp = attention(p['attn'], layer_norm(seq, p['norm1'], cfg.ln_eps), nh,
-                           use_pallas=cfg.use_pallas_attention)
+                           use_pallas=cfg.use_pallas_attention,
+                      attention_bwd=cfg.attention_bwd)
         res_sp = drop_path(res_sp, dpr, r('s'), row_ndim=2)  # mask per (b, t)
         cls_out = res_sp[:, :, 0, :]  # (B, T, D)
         if ca == 0:
@@ -325,7 +333,8 @@ def _divided_block(p, xs, cls, cfg: TimeSformerConfig, dpr, rngs):
         res_sp = jnp.swapaxes(res_sp[:, :, 1:, :], 1, 2)  # (B, N, T, D)
     else:  # ca >= 2 or ca == -1: no cls token in spatial attention (vit.py:202-208).
         res_sp = attention(p['attn'], layer_norm(xsp, p['norm1'], cfg.ln_eps), nh,
-                           use_pallas=cfg.use_pallas_attention)
+                           use_pallas=cfg.use_pallas_attention,
+                      attention_bwd=cfg.attention_bwd)
         res_sp = drop_path(res_sp, dpr, r('s'), row_ndim=2)
         cls_new = jnp.zeros_like(cls)
         res_sp = jnp.swapaxes(res_sp, 1, 2)
@@ -349,7 +358,8 @@ def _joint_block(p, xs, cls, cfg: TimeSformerConfig, dpr, rngs):
     r = (lambda name: rngs[name]) if rngs is not None else (lambda name: None)
     flat = jnp.concatenate([cls[:, None, :], xs.reshape(B, N * T, D)], axis=1)
     res = attention(p['attn'], layer_norm(flat, p['norm1'], cfg.ln_eps), cfg.num_heads,
-                    use_pallas=cfg.use_pallas_attention)
+                    use_pallas=cfg.use_pallas_attention,
+                      attention_bwd=cfg.attention_bwd)
     flat = flat + drop_path(res, dpr, r('s'), row_ndim=1)
     flat = flat + drop_path(mlp(p['mlp'], layer_norm(flat, p['norm2'], cfg.ln_eps)),
                             dpr, r('m'), row_ndim=1)
@@ -450,6 +460,16 @@ def forward(params: Dict[str, Any], cfg: TimeSformerConfig, pixels: jnp.ndarray,
                       cp.dots_with_no_batch_dims_saveable,
                       cp.save_only_these_names('attn_res')),
                   'attn_res': cp.save_only_these_names('attn_res'),
+                  # For the in-kernel attention backward (attention_bwd='kernel_x' /
+                  # 'kernel_qkv'): keep the named attention OUTPUT (and optionally the qkv
+                  # residual) across the block boundary so the backward never re-runs the
+                  # forward pallas kernel; probs/attn never exist in HBM at all.
+                  'dots_nb_out': cp.save_from_both_policies(
+                      cp.dots_with_no_batch_dims_saveable,
+                      cp.save_only_these_names('attn_out')),
+                  'dots_nb_out_qkv': cp.save_from_both_policies(
+                      cp.dots_with_no_batch_dims_saveable,
+                      cp.save_only_these_names('attn_out', 'attn_qkv')),
                   }[cfg.remat_policy]
         body = jax.checkpoint(body, prevent_cse=False, policy=policy)
 

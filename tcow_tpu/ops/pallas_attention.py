@@ -120,15 +120,24 @@ def _pick_group(S_pad: int, D: int, dtype_bytes: int) -> int:
     return p
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def fused_attention(x, qkv_w, qkv_b, proj_w, proj_b, num_heads: int,
-                    causal_attention: int):
-    '''Fused attention over (B, S, D); differentiable. When differentiated, the forward
-    kernel exports its residuals (qkv, packed probs, pre-projection attn) so the backward
-    is explicit matmul math with NO forward recompute — under per-block remat the residuals
-    are transient (one block alive at a time). The primal (inference) call skips the
+                    causal_attention: int, bwd_mode: str = 'res'):
+    '''Fused attention over (B, S, D); differentiable. The primal (inference) call skips
     residual outputs entirely, which keeps VMEM in budget at long sequence lengths (the
-    ViT-L 480x640 stretch config has S = 1201).'''
+    ViT-L 480x640 stretch config has S = 1201).
+
+    bwd_mode selects the backward implementation:
+      'res'        — forward kernel exports (qkv, packed probs, attn) residuals; backward
+                     is explicit XLA matmul math with no recompute.
+      'kernel_qkv' — forward exports qkv only (name: attn_qkv); backward is a fused Pallas
+                     kernel that recomputes probs/attn in VMEM from the saved qkv. No
+                     probs/attn HBM residual, ~1/3 of the residual bytes of 'res'.
+      'kernel_x'   — forward exports nothing; the backward kernel recomputes qkv from x
+                     in VMEM too. Zero attention residuals (x is the only saved value);
+                     costs one extra qkv GEMM per call in the backward.
+    Under per-block remat, pair the kernel modes with the 'dots_nb_out'(+'_qkv') policies
+    in timesformer.py so the forward kernel is never re-run in the backward pass.'''
     return _fused_attention_fwd_impl(x, qkv_w, qkv_b, proj_w, proj_b, num_heads,
                                      causal_attention, want_residuals=False)[0]
 
@@ -145,6 +154,25 @@ def _geometry(x, num_heads):
     return B, S, D, S_pad, pack, G, B_pad
 
 
+def _weight_in_specs(G, S_pad, D):
+    return [
+        pl.BlockSpec((G, S_pad, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((D, 3 * D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3 * D,), lambda i: (0,), memory_space=pltpu.VMEM),
+        pl.BlockSpec((D, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((D,), lambda i: (0,), memory_space=pltpu.VMEM),
+    ]
+
+
+def _fwd_vmem_limit(x, G, S_pad, pack, D):
+    itemsize = np.dtype(x.dtype).itemsize
+    SP = S_pad * pack
+    block_bytes = (G * S_pad * (4 + 9 * itemsize) * D
+                   + (G // pack) * SP * SP * (8 + 2 * itemsize)
+                   + 4 * D * D * itemsize)
+    return int(min(max(block_bytes * 1.5, 32 * 1024 * 1024), 120 * 1024 * 1024))
+
+
 def _fused_attention_fwd_impl(x, qkv_w, qkv_b, proj_w, proj_b, num_heads,
                               causal_attention, interpret: bool = False,
                               want_residuals: bool = True):
@@ -153,6 +181,31 @@ def _fused_attention_fwd_impl(x, qkv_w, qkv_b, proj_w, proj_b, num_heads,
     xp = x
     if S_pad != S or B_pad != B:
         xp = jnp.pad(x, ((0, B_pad - B), (0, S_pad - S), (0, 0)))
+
+    if want_residuals == 'qkv':
+        kernel = functools.partial(_kernel, num_heads=num_heads,
+                                   causal_attention=causal_attention, seq_len=S,
+                                   pack=pack)
+
+        def kernel_qkv_only(x_ref, qw, qb, pw, pb, out_ref, qkv_out_ref):
+            kernel(x_ref, qw, qb, pw, pb, out_ref, qkv_out_ref=qkv_out_ref)
+
+        results = pl.pallas_call(
+            kernel_qkv_only,
+            out_shape=(jax.ShapeDtypeStruct((B_pad, S_pad, D), x.dtype),
+                       jax.ShapeDtypeStruct((B_pad, S_pad, 3 * D), x.dtype)),
+            grid=(B_pad // G,),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_fwd_vmem_limit(x, G, S_pad, pack, D)),
+            in_specs=_weight_in_specs(G, S_pad, D),
+            out_specs=(pl.BlockSpec((G, S_pad, D), lambda i: (i, 0, 0),
+                                    memory_space=pltpu.VMEM),
+                       pl.BlockSpec((G, S_pad, 3 * D), lambda i: (i, 0, 0),
+                                    memory_space=pltpu.VMEM)),
+            interpret=interpret,
+        )(xp, qkv_w, qkv_b, proj_w, proj_b)
+        out, qkv = results
+        return out[:B, :S], qkv, None, None
 
     kernel = functools.partial(_kernel, num_heads=num_heads,
                                causal_attention=causal_attention, seq_len=S, pack=pack)
@@ -200,12 +253,25 @@ def _fused_attention_fwd_impl(x, qkv_w, qkv_b, proj_w, proj_b, num_heads,
     return out[:B, :S], qkv, probs, attn
 
 
-def _fwd(x, qkv_w, qkv_b, proj_w, proj_b, num_heads, causal_attention):
+def _fwd(x, qkv_w, qkv_b, proj_w, proj_b, num_heads, causal_attention, bwd_mode):
+    from jax.ad_checkpoint import checkpoint_name
+    if bwd_mode == 'kernel_x':
+        out = _fused_attention_fwd_impl(x, qkv_w, qkv_b, proj_w, proj_b, num_heads,
+                                        causal_attention, want_residuals=False)[0]
+        return out, (x, qkv_w, qkv_b, proj_w)
+    if bwd_mode == 'kernel_qkv':
+        out, qkv, _, _ = _fused_attention_fwd_impl(x, qkv_w, qkv_b, proj_w, proj_b,
+                                                   num_heads, causal_attention,
+                                                   want_residuals='qkv')
+        # Named so the 'dots_nb_out_qkv' remat policy can keep qkv across the per-block
+        # checkpoint boundary (the fwd kernel is then never re-run in the backward).
+        qkv = checkpoint_name(qkv, 'attn_qkv')
+        return out, (x, qkv, qkv_w, qkv_b, proj_w)
+    assert bwd_mode == 'res', bwd_mode
     out, qkv, probs, attn = _fused_attention_fwd_impl(
         x, qkv_w, qkv_b, proj_w, proj_b, num_heads, causal_attention)
     # Name the residuals so a remat policy (save_only_these_names) can keep them across the
     # per-block checkpoint boundary, avoiding any attention recompute in the backward.
-    from jax.ad_checkpoint import checkpoint_name
     qkv = checkpoint_name(qkv, 'attn_res')
     probs = checkpoint_name(probs, 'attn_res')
     attn = checkpoint_name(attn, 'attn_res')
@@ -213,7 +279,19 @@ def _fwd(x, qkv_w, qkv_b, proj_w, proj_b, num_heads, causal_attention):
     return out, (x_res, qkv, probs, attn, qkv_w, proj_w)
 
 
-def _bwd(num_heads, causal_attention, residuals, g):
+def _bwd(num_heads, causal_attention, bwd_mode, residuals, g):
+    if bwd_mode == 'kernel_x':
+        x, qkv_w, qkv_b, proj_w = residuals
+        return _fused_attention_bwd_impl(x, g, qkv_w, qkv_b, proj_w, None,
+                                         num_heads, causal_attention)
+    if bwd_mode == 'kernel_qkv':
+        x, qkv, qkv_w, qkv_b, proj_w = residuals
+        return _fused_attention_bwd_impl(x, g, qkv_w, qkv_b, proj_w, qkv,
+                                         num_heads, causal_attention)
+    return _bwd_res(num_heads, causal_attention, residuals, g)
+
+
+def _bwd_res(num_heads, causal_attention, residuals, g):
     '''Explicit attention backward from saved residuals (packed layout; off-block probs are
     exactly zero, so packed matmuls produce correct per-sequence gradients).'''
     x, qkv, probs, attn, qkv_w, proj_w = residuals
@@ -270,3 +348,152 @@ def _bwd(num_heads, causal_attention, residuals, g):
 
 
 fused_attention.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fully in-kernel backward: recompute probs/attn in VMEM (optionally qkv too), emit all
+# five gradients from one kernel. Weight gradients accumulate in VMEM across the
+# (sequential) grid; no probs/attn residual ever touches HBM.
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(x_ref, g_ref, qkv_w_ref, qkv_b_ref, proj_w_ref, *rest,
+                num_heads: int, causal_attention: int, seq_len: int, pack: int,
+                has_qkv: bool):
+    if has_qkv:
+        qkv_ref, dqkv_ref, attn_ref = rest
+    else:
+        qkv_ref = None
+        dqkv_ref, attn_ref = rest
+    G, S, D = x_ref.shape
+    dh = D // num_heads
+    scale = dh ** -0.5
+    P = pack
+    SP = S * P
+    cdt = x_ref.dtype
+
+    x = x_ref[:].reshape(G * S, D)
+    g = g_ref[:].reshape(G * S, D)
+    if qkv_ref is not None:
+        qkv = qkv_ref[:]
+    else:
+        qkv = jax.lax.dot_general(x, qkv_w_ref[:].astype(cdt), (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        qkv = (qkv + qkv_b_ref[:].astype(jnp.float32)).astype(cdt).reshape(G, S, 3 * D)
+    qkv_p = qkv.reshape(G // P, SP, 3 * D)
+
+    # Same packed block-diagonal + key-validity + causal mask as the forward kernel.
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (SP, SP), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (SP, SP), 1)
+    mask = (row_ids // S) == (col_ids // S)
+    mask = jnp.logical_and(mask, (col_ids % S) < seq_len)
+    if causal_attention > 0:
+        diag = 0 if causal_attention <= 2 else causal_attention - 2
+        mask = jnp.logical_and(mask, (col_ids % S) <= (row_ids % S) + diag)
+
+    dattn = jax.lax.dot_general(g, proj_w_ref[:].astype(cdt),
+                                (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32).astype(cdt)
+    dattn = dattn.reshape(G // P, SP, D)
+
+    attn_parts, dq_parts, dk_parts, dv_parts = [], [], [], []
+    for h in range(num_heads):
+        q = qkv_p[:, :, h * dh:(h + 1) * dh]
+        k = qkv_p[:, :, D + h * dh:D + (h + 1) * dh]
+        v = qkv_p[:, :, 2 * D + h * dh:2 * D + (h + 1) * dh]
+        logits = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                                     preferred_element_type=jnp.float32) * scale
+        logits = jnp.where(mask[None], logits, jnp.float32(-1e10))
+        pf = jax.nn.softmax(logits, axis=-1)                          # (G/P, SP, SP) f32
+        p_c = pf.astype(cdt)
+        attn_parts.append(jax.lax.dot_general(p_c, v, (((2,), (1,)), ((0,), (0,))),
+                                              preferred_element_type=jnp.float32)
+                          .astype(cdt))
+        da_h = dattn[:, :, h * dh:(h + 1) * dh]
+        dv_parts.append(jax.lax.dot_general(p_c, da_h, (((1,), (1,)), ((0,), (0,))),
+                                            preferred_element_type=jnp.float32)
+                        .astype(cdt))
+        dp = jax.lax.dot_general(da_h, v, (((2,), (2,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)  # (G/P, SP, SP) f32
+        dlog = pf * (dp - jnp.sum(dp * pf, axis=-1, keepdims=True))
+        dlog = (dlog * scale).astype(cdt)
+        dq_parts.append(jax.lax.dot_general(dlog, k, (((2,), (1,)), ((0,), (0,))),
+                                            preferred_element_type=jnp.float32)
+                        .astype(cdt))
+        dk_parts.append(jax.lax.dot_general(dlog, q, (((1,), (1,)), ((0,), (0,))),
+                                            preferred_element_type=jnp.float32)
+                        .astype(cdt))
+
+    attn_ref[:] = jnp.concatenate(attn_parts, axis=-1).reshape(G, S, D)
+    dqkv_ref[:] = jnp.concatenate(dq_parts + dk_parts + dv_parts,
+                                  axis=-1).reshape(G, S, 3 * D)
+
+
+def _fused_attention_bwd_impl(x, g, qkv_w, qkv_b, proj_w, qkv, num_heads,
+                              causal_attention, interpret: bool = False):
+    '''Runs the in-kernel backward; qkv=None recomputes qkv from x inside the kernel.
+    Returns (dx, dqkv_w, dqkv_b, dproj_w, dproj_b).'''
+    B, S, D, S_pad, pack, G, B_pad = _geometry(x, num_heads)
+    SP = S_pad * pack
+
+    def pad3(a):
+        if a.shape[0] != B_pad or a.shape[1] != S_pad:
+            return jnp.pad(a, ((0, B_pad - a.shape[0]), (0, S_pad - a.shape[1]), (0, 0)))
+        return a
+
+    xp = pad3(x)
+    gp = pad3(g.astype(x.dtype))
+
+    inputs = [xp, gp, qkv_w, qkv_b, proj_w]
+    in_specs = [
+        pl.BlockSpec((G, S_pad, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((G, S_pad, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((D, 3 * D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3 * D,), lambda i: (0,), memory_space=pltpu.VMEM),
+        pl.BlockSpec((D, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    if qkv is not None:
+        assert qkv.shape == (B_pad, S_pad, 3 * D), (qkv.shape, (B_pad, S_pad, 3 * D))
+        inputs.append(qkv)
+        in_specs.append(pl.BlockSpec((G, S_pad, 3 * D), lambda i: (i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+
+    out_shape = (
+        jax.ShapeDtypeStruct((B_pad, S_pad, 3 * D), x.dtype),    # dqkv
+        jax.ShapeDtypeStruct((B_pad, S_pad, D), x.dtype),        # attn (pre-projection)
+    )
+    out_specs = (
+        pl.BlockSpec((G, S_pad, 3 * D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((G, S_pad, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+    )
+    itemsize = np.dtype(x.dtype).itemsize
+    block_bytes = (G * S_pad * D * itemsize * 12                    # x/g/attn/dattn + qkv/dqkv
+                   + (G // pack) * SP * SP * (12 + 2 * itemsize)    # probs f32 + dp f32 + dlog
+                   + 6 * D * D * itemsize)                          # resident weights
+    vmem_limit = int(min(max(block_bytes * 1.5, 48 * 1024 * 1024), 124 * 1024 * 1024))
+    kernel = functools.partial(_bwd_kernel, num_heads=num_heads,
+                               causal_attention=causal_attention, seq_len=S, pack=pack,
+                               has_qkv=qkv is not None)
+    dqkv, attn = pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        grid=(B_pad // G,),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        interpret=interpret,
+    )(*inputs)
+
+    # Weight/bias/input gradients as ordinary XLA dots (they fuse into the surrounding
+    # scan-body gradient accumulation exactly like the 'res' backward; keeping them out of
+    # the kernel avoids scoped-vmem pressure from fusing f32 accumulators into that body).
+    cdt = x.dtype
+    g2 = gp.reshape(B_pad * S_pad, D)
+    attn2 = attn.reshape(B_pad * S_pad, D)
+    dproj_w = jnp.dot(attn2.T, g2, preferred_element_type=jnp.float32)
+    dproj_b = jnp.sum(g2, axis=0, dtype=jnp.float32)
+    dqkv2 = dqkv.reshape(B_pad * S_pad, 3 * D)
+    x2 = xp.reshape(B_pad * S_pad, D)
+    dqkv_w = jnp.dot(x2.T, dqkv2, preferred_element_type=jnp.float32)
+    dqkv_b = jnp.sum(dqkv2.astype(jnp.float32), axis=0)
+    dx = jnp.dot(dqkv2, qkv_w.astype(cdt).T).reshape(B_pad, S_pad, D)
+    return dx[:B, :S].astype(cdt), dqkv_w, dqkv_b, dproj_w, dproj_b

@@ -65,6 +65,61 @@ def test_custom_vjp_gradients_match_reference():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize('mode', ['kernel_qkv', 'kernel_x'])
+@pytest.mark.parametrize('ca', [0, 1])
+def test_in_kernel_backward_matches_reference(mode, ca):
+    '''The fully in-kernel pallas backward (probs/attn recomputed in VMEM, weight grads
+    accumulated across the grid) produces the same gradients as the XLA reference. Uses a
+    shape with padding (S=13 -> S_pad=16) and multiple grid groups so accumulation and
+    padding rows are both exercised.'''
+    args = make_inputs(B=7, S=13, D=32, seed=3)
+
+    def loss_fused(*a):
+        return jnp.sum(pa.fused_attention(*a, 4, ca, mode) ** 2)
+
+    def loss_ref(*a):
+        return jnp.sum(pa.attention_ref(*a, 4, ca) ** 2)
+
+    import functools
+    orig_f, orig_b = pa._fused_attention_fwd_impl, pa._fused_attention_bwd_impl
+    pa._fused_attention_fwd_impl = functools.partial(orig_f, interpret=True)
+    pa._fused_attention_bwd_impl = functools.partial(orig_b, interpret=True)
+    try:
+        out = pa.fused_attention(*args, 4, ca, mode)
+        g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(*args)
+    finally:
+        pa._fused_attention_fwd_impl = orig_f
+        pa._fused_attention_bwd_impl = orig_b
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(pa.attention_ref(*args, 4, ca)),
+                               rtol=2e-4, atol=2e-5)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(*args)
+    for a, b in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize('mode', ['kernel_qkv', 'kernel_x'])
+def test_in_kernel_backward_packed_geometry(mode):
+    '''Short sequences (S=8 with D=16 -> pack > 1) exercise the packed block-diagonal
+    score layout in the backward kernel.'''
+    args = make_inputs(B=8, S=8, D=16, seed=5)
+
+    import functools
+    orig_f, orig_b = pa._fused_attention_fwd_impl, pa._fused_attention_bwd_impl
+    pa._fused_attention_fwd_impl = functools.partial(orig_f, interpret=True)
+    pa._fused_attention_bwd_impl = functools.partial(orig_b, interpret=True)
+    try:
+        g_fused = jax.grad(lambda *a: jnp.sum(pa.fused_attention(*a, 2, 1, mode) ** 2),
+                           argnums=(0, 1, 2, 3, 4))(*args)
+    finally:
+        pa._fused_attention_fwd_impl = orig_f
+        pa._fused_attention_bwd_impl = orig_b
+    g_ref = jax.grad(lambda *a: jnp.sum(pa.attention_ref(*a, 2, 1) ** 2),
+                     argnums=(0, 1, 2, 3, 4))(*args)
+    for a, b in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
+
+
 def test_group_picker_sane():
     assert pa._pick_group(32, 768, 2) >= 4
     assert pa._pick_group(304, 768, 2) >= 1
