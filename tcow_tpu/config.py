@@ -59,6 +59,9 @@ def shared_args(parser: argparse.ArgumentParser):
     parser.add_argument('--profile_dir', default='', type=str,
                         help='If set, capture a jax.profiler trace of a few train steps '
                              'into this directory (view with xprof/tensorboard).')
+    parser.add_argument('--device_augs', default=-1, type=int,
+                        help='Color jitter on device inside the jitted step: -1 auto '
+                             '(TPU on, else off), 0 host-side (reference behavior), 1 on.')
     parser.add_argument('--multihost', default=False, type=_str2bool,
                         help='Initialize jax.distributed for multi-host (DCN) execution; '
                              'coordinator/process env comes from the TPU runtime.')

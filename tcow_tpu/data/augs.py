@@ -55,17 +55,29 @@ def _shift_hue(frames_tchw: np.ndarray, fh: float) -> np.ndarray:
         return matplotlib.colors.hsv_to_rgb(hsv).transpose(0, 3, 1, 2).astype(np.float32)
 
 
+def sample_jitter_factors(rng: np.random.Generator, brightness=0.2, contrast=0.2,
+                          saturation=0.2, hue=0.1) -> Dict:
+    '''Draws the per-video ColorJitter factors + op order. Consumes exactly the random
+    values color_jitter() would, so deferring the application (device-side jitter) keeps
+    every subsequent draw in the augmentation RNG stream identical.'''
+    return {
+        'fb': rng.uniform(max(0.0, 1 - brightness), 1 + brightness),
+        'fc': rng.uniform(max(0.0, 1 - contrast), 1 + contrast),
+        'fs': rng.uniform(max(0.0, 1 - saturation), 1 + saturation),
+        'fh': rng.uniform(-hue, hue),
+        'order': rng.permutation(4).astype(np.int32),
+    }
+
+
 def color_jitter(frames: np.ndarray, rng: np.random.Generator, brightness=0.2, contrast=0.2,
-                 saturation=0.2, hue=0.1) -> np.ndarray:
+                 saturation=0.2, hue=0.1, factors: Optional[Dict] = None) -> np.ndarray:
     '''torchvision.ColorJitter semantics on (T, 3, H, W) float frames: factors sampled once
     per video, the four adjustments applied in a random order.'''
-    fb = rng.uniform(max(0.0, 1 - brightness), 1 + brightness)
-    fc = rng.uniform(max(0.0, 1 - contrast), 1 + contrast)
-    fs = rng.uniform(max(0.0, 1 - saturation), 1 + saturation)
-    fh = rng.uniform(-hue, hue)
-    order = rng.permutation(4)
+    if factors is None:
+        factors = sample_jitter_factors(rng, brightness, contrast, saturation, hue)
+    fb, fc, fs, fh = factors['fb'], factors['fc'], factors['fs'], factors['fh']
     out = frames.astype(np.float32)
-    for op in order:
+    for op in factors['order']:
         if op == 0:
             out = np.clip(out * fb, 0.0, 1.0)
         elif op == 1:
@@ -114,7 +126,12 @@ class AugmentationPipeline:
 
     def __init__(self, num_frames_load: int, num_frames_clip: int, frame_height: int,
                  frame_width: int, frame_stride: int, do_random_augs: bool, augs_2d: bool,
-                 reverse_prob: float, palindrome_prob: float, center_crop: bool):
+                 reverse_prob: float, palindrome_prob: float, center_crop: bool,
+                 defer_color_jitter: bool = False):
+        # defer_color_jitter: sample the jitter factors here (same RNG stream) but leave
+        # the pixel math to the device (tcow_tpu/ops/device_augs.py); factors land in
+        # params['jitter_factors'].
+        self.defer_color_jitter = defer_color_jitter
         self.num_frames_load = num_frames_load
         self.num_frames_clip = num_frames_clip
         self.frame_height = frame_height
@@ -215,7 +232,10 @@ class AugmentationPipeline:
 
             if 'rgb' in modality:
                 if params['color_jitter']:
-                    x = color_jitter(x, rng)
+                    if self.defer_color_jitter:
+                        params['jitter_factors'] = sample_jitter_factors(rng)
+                    else:
+                        x = color_jitter(x, rng)
                 if params['rgb_blur']:
                     x = gaussian_blur(x, rng)
                 if params['rgb_grayscale']:

@@ -96,8 +96,21 @@ class PrefetchLoader:
             stop.set()
 
 
+def _device_color_jitter_auto(args) -> bool:
+    '''--device_augs: -1 = auto (on for TPU backends, off elsewhere), 0/1 = forced.'''
+    v = int(getattr(args, 'device_augs', -1))
+    if v >= 0:
+        return bool(v)
+    try:
+        import jax
+        return jax.default_backend() == 'tpu'
+    except Exception:
+        return False
+
+
 def _kubric_dset_args(args) -> Dict[str, Any]:
     return dict(
+        device_color_jitter=_device_color_jitter_auto(args),
         num_frames=args.num_frames, frame_height=args.frame_height,
         frame_width=args.frame_width, frame_rate=args.kubric_frame_rate,
         frame_stride=args.kubric_frame_stride, max_delay=args.kubric_max_delay,

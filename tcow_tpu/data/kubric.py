@@ -43,7 +43,8 @@ class KubricQueryDataset:
                  augs_2d: bool = True, num_queries: int = 1, query_time: float = 0.0,
                  max_objects: int = 36, front_occl_thres: float = 0.95,
                  outer_cont_thres: float = 0.75, reverse_prob: float = 0.0,
-                 palindrome_prob: float = 0.0, seed: int = 0, use_cache: bool = True):
+                 palindrome_prob: float = 0.0, seed: int = 0, use_cache: bool = True,
+                 device_color_jitter: bool = False):
         self.dset_root = dset_root
         self.logger = logger
         self.phase = phase
@@ -90,10 +91,11 @@ class KubricQueryDataset:
             logger.info(f'(KubricQueryDataset) ({phase}) Scene count: {self.dset_size}, '
                         f'used: {self.used_dset_size}')
 
+        self.device_color_jitter = device_color_jitter
         self.augs_pipeline = augs_lib.AugmentationPipeline(
             self.num_frames_load, self.num_frames_clip, frame_height, frame_width,
             frame_stride, self.do_random_augs, augs_2d, reverse_prob, palindrome_prob,
-            center_crop=False)
+            center_crop=False, defer_color_jitter=device_color_jitter)
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
@@ -272,7 +274,19 @@ class KubricQueryDataset:
         dag_pad, _ = data_utils.pad_div(occl_cont_dag_tf, [1, 2], M)
         desir_pad, _ = data_utils.pad_div(desirability_tf, [0], M)
 
+        item_extra = {}
+        if self.device_color_jitter:
+            jf = augs_params.get('jitter_factors')
+            if jf is not None:
+                item_extra['jitter_factors'] = np.array(
+                    [jf['fb'], jf['fc'], jf['fs'], jf['fh'], 1.0], np.float32)
+                item_extra['jitter_order'] = np.asarray(jf['order'], np.int32)
+            else:  # jitter not drawn this item (p=0.9) -> device no-op
+                item_extra['jitter_factors'] = np.array([1, 1, 1, 0, 0], np.float32)
+                item_extra['jitter_order'] = np.arange(4, dtype=np.int32)
+
         return {
+            **item_extra,
             'rgb': rgb_tf.astype(np.float32),
             'segm': segm_tf[0],                       # (Tc, Hf, Wf) int32
             'div_segm': div_pad.astype(np.uint8),     # (M, Tc, Hf, Wf)
@@ -325,6 +339,9 @@ def collate_kubric(items: List[Dict], num_queries: int, phase: str,
         batch['rgb'] = rgb
         batch['div_segm'] = div
         batch['segm'] = segm
+    if 'jitter_factors' in items[0]:
+        batch['jitter_factors'] = np.stack([it['jitter_factors'] for it in items])
+        batch['jitter_order'] = np.stack([it['jitter_order'] for it in items])
     inst_count = np.array([it['inst_count'] for it in items])
     desirability = np.stack([it['desirability'] for it in items])
     batch['query_inds'] = query_sampling.sample_query_inds(

@@ -89,6 +89,12 @@ def unpack_batch(batch) -> Dict[str, Any]:
         batch['rgb'] = batch.pop('rgb_u8').astype(jnp.float32) / 255.0
     if 'segm_u8' in batch:
         batch['segm'] = batch.pop('segm_u8').astype(jnp.int32)
+    if 'jitter_factors' in batch:
+        # Deferred color jitter: the host only sampled factors; the pixel math fuses into
+        # this unpacking pass on device (ops/device_augs.py; cuts ~0.56 s/item host cost).
+        from tcow_tpu.ops import device_augs
+        batch['rgb'] = device_augs.apply_color_jitter(
+            batch['rgb'], batch.pop('jitter_factors'), batch.pop('jitter_order'))
     return batch
 
 

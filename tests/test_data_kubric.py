@@ -156,6 +156,34 @@ def test_kubric_dataset_end_to_end(synth_dataset):
     assert tm[:, :, 0].reshape(2, 2, -1).any(axis=-1).all(), 'empty snitch target'
 
 
+def test_kubric_device_jitter_path(synth_dataset):
+    '''device_color_jitter=True: items carry the sampled factors, collate stacks them, and
+    unpack_batch applies the jitter on device (rgb differs from the shipped u8 frames
+    whenever apply=1, exactly matching ops/device_augs on the same factors).'''
+    from tcow_tpu.ops import device_augs
+    from tcow_tpu.train import step as step_lib
+    ds = KubricQueryDataset(synth_dataset, None, 'train', num_frames=8, frame_height=32,
+                            frame_width=48, max_delay=2, num_queries=2, max_objects=6,
+                            augs_2d=True, seed=5, device_color_jitter=True)
+    items = [ds[0], ds[1]]
+    for it in items:
+        assert it['jitter_factors'].shape == (5,)
+        assert it['jitter_order'].shape == (4,)
+    batch = collate_kubric(items, num_queries=2, phase='train',
+                           rng=np.random.default_rng(0))
+    assert batch['jitter_factors'].shape == (2, 5)
+    raw = batch['rgb_u8'].astype(np.float32) / 255.0
+    dev = step_lib.unpack_batch({k: jnp.asarray(v) for k, v in batch.items()})
+    want = device_augs.apply_color_jitter(jnp.asarray(raw),
+                                          jnp.asarray(batch['jitter_factors']),
+                                          jnp.asarray(batch['jitter_order']))
+    np.testing.assert_allclose(np.asarray(dev['rgb']), np.asarray(want), atol=1e-6)
+    applied = batch['jitter_factors'][:, 4] > 0.5
+    for b in range(2):
+        differs = not np.allclose(np.asarray(dev['rgb'][b]), raw[b], atol=1e-5)
+        assert differs == bool(applied[b]), (b, applied[b])
+
+
 def test_kubric_dataset_deterministic_per_index(synth_dataset):
     ds = KubricQueryDataset(synth_dataset, None, 'val_noaug', num_frames=8, frame_height=32,
                             frame_width=48, num_queries=1, max_objects=6, seed=7)

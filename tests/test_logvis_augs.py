@@ -115,6 +115,68 @@ def test_grayscale_aug_preserves_shape():
     np.testing.assert_allclose(out['rgb'][1], out['rgb'][2], atol=1e-6)
 
 
+def test_device_color_jitter_matches_host():
+    '''ops/device_augs.apply_color_jitter reproduces the host color_jitter math (same
+    factors + op order) to float tolerance; hue goes through different HSV converters
+    (cv2 vs jnp), hence the looser tolerance there.'''
+    import jax.numpy as jnp
+    from tcow_tpu.ops import device_augs
+
+    rng = np.random.default_rng(3)
+    frames = rng.random((3, 4, 16, 20)).astype(np.float32)      # (3, T, H, W)
+    for seed in range(4):
+        frng = np.random.default_rng(100 + seed)
+        factors = augs_lib.sample_jitter_factors(frng)
+        host = augs_lib.color_jitter(frames.transpose(1, 0, 2, 3),
+                                     np.random.default_rng(0), factors=factors)
+        fv = np.array([[factors['fb'], factors['fc'], factors['fs'], factors['fh'], 1.0]],
+                      np.float32)
+        ov = factors['order'][None].astype(np.int32)
+        dev = device_augs.apply_color_jitter(jnp.asarray(frames[None]), jnp.asarray(fv),
+                                             jnp.asarray(ov))
+        np.testing.assert_allclose(np.asarray(dev[0]).transpose(1, 0, 2, 3), host,
+                                   atol=3e-3, rtol=0)
+
+    # apply = 0 -> exact no-op.
+    fv0 = np.array([[1.3, 0.7, 1.1, 0.05, 0.0]], np.float32)
+    dev0 = device_augs.apply_color_jitter(jnp.asarray(frames[None]), jnp.asarray(fv0),
+                                          jnp.asarray(np.arange(4, dtype=np.int32)[None]))
+    np.testing.assert_array_equal(np.asarray(dev0[0]), frames)
+
+
+def test_deferred_jitter_keeps_rng_stream_aligned(monkeypatch):
+    '''With defer_color_jitter, every draw AFTER the jitter point (blur sigma, etc.) must
+    come from the same RNG stream position as the host-jitter path: sample_jitter_factors
+    consumes exactly the draws color_jitter would have.'''
+    rng_img = np.random.default_rng(7)
+    rgb = rng_img.random((3, 10, 24, 32)).astype(np.float32)
+    segm = (rng_img.random((1, 10, 24, 32)) * 4).astype(np.uint8)
+
+    sigmas = {}
+    orig_blur = augs_lib.gaussian_blur
+
+    outs = {}
+    for defer in (False, True):
+        def rec_blur(frames, rng, **kw):  # records the sigma this path draws
+            sigmas[defer] = float(rng.uniform(0.1, 3.5))
+            return frames
+        monkeypatch.setattr(augs_lib, 'gaussian_blur', rec_blur)
+        pipe = make_pipeline(defer_color_jitter=defer)
+        params = pipe.sample_augs_params(np.random.default_rng(11))
+        params['color_jitter'] = True
+        params['rgb_blur'] = True  # draws sigma AFTER the jitter draws
+        out = pipe.apply_augs_2d_frames({'rgb': rgb.copy(), 'segm': segm.copy()}, params)
+        outs[defer] = (out, params)
+    monkeypatch.setattr(augs_lib, 'gaussian_blur', orig_blur)
+
+    assert sigmas[False] == sigmas[True]  # the RNG stream position is unchanged
+    np.testing.assert_array_equal(outs[False][0]['segm'], outs[True][0]['segm'])
+    jf = outs[True][1]['jitter_factors']
+    assert set(jf) == {'fb', 'fc', 'fs', 'fh', 'order'}
+    # Host path applied the jitter; deferred path must leave rgb un-jittered.
+    assert not np.allclose(outs[False][0]['rgb'], outs[True][0]['rgb'])
+
+
 def test_center_crop_aspect():
     pipe = make_pipeline(do_random_augs=False, augs_2d=False, center_crop=True,
                          frame_height=24, frame_width=24)  # square target
