@@ -38,8 +38,12 @@ from tcow_tpu.models import mask_tracker as mt
 
 
 class StreamState(NamedTuple):
-    k_cache: jnp.ndarray   # (L, B, N, Tmax, D) temporal attention keys per block
-    v_cache: jnp.ndarray   # (L, B, N, Tmax, D)
+    # Caches are PER-BLOCK tuples (length L) of (B, N, nh, Tmax, dh) arrays rather than one
+    # stacked (L, ...) array: each block's slot update is then a dynamic_update_slice on its
+    # own linearly-threaded buffer, which XLA performs in place when the state is a scan
+    # carry or donated — the stacked form forced a full cache copy per block per frame.
+    k_cache: Tuple[jnp.ndarray, ...]   # temporal attention keys per block (head-major)
+    v_cache: Tuple[jnp.ndarray, ...]
     cls_in: jnp.ndarray    # (L, B, D) per-block input cls token (frozen after frame 0)
     t: jnp.ndarray         # () int32 current frame index
 
@@ -60,9 +64,10 @@ def init_stream(params: Dict[str, Any], cfg: mt.SeekerConfig, batch_size: int,
         Tmax = max_frames or bb.num_frames
     L, B, N, D = bb.depth, batch_size, bb.num_patches, bb.embed_dim
     dt = bb.compute_dtype
+    nh = bb.num_heads
     return StreamState(
-        k_cache=jnp.zeros((L, B, N, Tmax, D), dt),
-        v_cache=jnp.zeros((L, B, N, Tmax, D), dt),
+        k_cache=tuple(jnp.zeros((B, N, nh, Tmax, D // nh), dt) for _ in range(L)),
+        v_cache=tuple(jnp.zeros((B, N, nh, Tmax, D // nh), dt) for _ in range(L)),
         cls_in=jnp.zeros((L, B, D), dt),
         t=jnp.int32(0))
 
@@ -75,20 +80,26 @@ def _qkv_heads(p, x, nh):
 
 
 def _attend_cached(q, k_all, v_all, nh, valid):
-    '''q (B, N, D) over cached keys/values (B, N, S, D); `valid` (S,) bool marks the
-    populated cache slots (slot order is irrelevant: softmax is permutation-invariant).'''
+    '''q (B, N, D) over head-major cached keys/values (B, N, nh, S, dh); `valid` (S,) bool
+    marks the populated cache slots (slot order is irrelevant: softmax is permutation-
+    invariant over cache slots).
+
+    The head-major (b, n, h, t, d) layout matches the einsum batch dims (b, n, h) exactly,
+    so BOTH contractions are relayout-free. The original (B, N, S, D) layout forced XLA to
+    transpose the whole cache every frame, making per-frame cost superlinear in S (38
+    ms/frame at S=120 vs 4.6 at S=30; head-major measures 0.55 ms/block vs 2.60 at S=120,
+    against a 0.43 ms cache-copy floor). Reading only the valid-prefix slots via a
+    lax.switch over static prefix sizes was tried and measured SLOWER (the conditional
+    forces extra materializations of the cache operand) — reads stay full-cache.'''
     B, N, D = q.shape
-    Tmax = k_all.shape[2]
     dh = D // nh
     scale = dh ** -0.5
     qh = q.reshape(B, N, nh, dh)
-    kh = k_all.reshape(B, N, Tmax, nh, dh)
-    vh = v_all.reshape(B, N, Tmax, nh, dh)
-    logits = jnp.einsum('bnhd,bnthd->bnht', qh, kh,
+    logits = jnp.einsum('bnhtd,bnhd->bnht', k_all, qh,
                         preferred_element_type=jnp.float32) * scale
     logits = jnp.where(valid[None, None, None, :], logits, jnp.float32(-1e10))
-    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
-    out = jnp.einsum('bnht,bnthd->bnhd', probs, vh)
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)          # (B, N, nh, S)
+    out = jnp.einsum('bnht,bnhtd->bnhd', probs, v_all)
     return out.reshape(B, N, D)
 
 
@@ -116,7 +127,7 @@ def stream_step(params: Dict[str, Any], cfg: mt.SeekerConfig, state: StreamState
     N = gh * gw
     bparams = params['backbone']
     L = bb.depth
-    Tmax = state.k_cache.shape[3]
+    Tmax = state.k_cache[0].shape[-2]
     t = state.t
 
     x = jnp.concatenate([frame_rgb, query_mask], axis=1).astype(bb.compute_dtype)
@@ -158,18 +169,25 @@ def stream_step(params: Dict[str, Any], cfg: mt.SeekerConfig, state: StreamState
 
     is_first = (t == 0)
 
-    def body(carry, scanned):
-        xs, cls_carry = carry
-        pb, k_cache_l, v_cache_l, cls_in_l = scanned
+    # The block loop is UNROLLED (L is small) with each block's cache updated in place on
+    # its own buffer; a lax.scan over stacked caches would copy every cache fully per frame
+    # (xs -> ys), which dominated per-frame cost at large windows.
+    xs, cls_carry = x, cls0
+    k_new, v_new, cls_in_new = [], [], []
+    for l in range(L):
+        pb = jax.tree.map(lambda a: a[l], bparams['blocks'])
         # Block input cls: at frame 0 it is the previous block's output (chained through
         # the carry, seeded with cls0); afterwards the frozen cached value.
-        cls_in = jnp.where(is_first, cls_carry, cls_in_l)
+        cls_in = jnp.where(is_first, cls_carry, state.cls_in[l])
 
-        # Temporal attention with KV cache.
+        # Temporal attention with KV cache (head-major layout: slot axis = 3 of 4).
         y = tsf.layer_norm(xs, pb['temporal_norm1'], bb.ln_eps)
         q, k, v = _qkv_heads(pb['temporal_attn'], y, nh)
-        k_all = jax.lax.dynamic_update_index_in_dim(k_cache_l, k, slot, axis=2)
-        v_all = jax.lax.dynamic_update_index_in_dim(v_cache_l, v, slot, axis=2)
+        Bq, Nq, Dq = k.shape
+        k_all = jax.lax.dynamic_update_index_in_dim(
+            state.k_cache[l], k.reshape(Bq, Nq, nh, Dq // nh), slot, axis=3)
+        v_all = jax.lax.dynamic_update_index_in_dim(
+            state.v_cache[l], v.reshape(Bq, Nq, nh, Dq // nh), slot, axis=3)
         res_t = _attend_cached(q, k_all, v_all, nh, valid)
         res_t = tsf._dense(res_t, pb['temporal_attn']['proj'])
         res_t = tsf._dense(res_t, pb['temporal_fc'])
@@ -187,11 +205,11 @@ def stream_step(params: Dict[str, Any], cfg: mt.SeekerConfig, state: StreamState
         cls_out = cls_mid + tsf.mlp(pb['mlp'],
                                     tsf.layer_norm(cls_mid, pb['norm2'], bb.ln_eps))
         tokens = tokens + tsf.mlp(pb['mlp'], tsf.layer_norm(tokens, pb['norm2'], bb.ln_eps))
-        return (tokens, cls_out), (k_all, v_all, cls_in)
-
-    (xs, _), (k_new, v_new, cls_in_new) = jax.lax.scan(
-        body, (x, cls0),
-        (bparams['blocks'], state.k_cache, state.v_cache, state.cls_in))
+        xs, cls_carry = tokens, cls_out
+        k_new.append(k_all)
+        v_new.append(v_all)
+        cls_in_new.append(cls_in)
+    cls_in_new = jnp.stack(cls_in_new)
 
     if bb.norm_embeddings:
         xs = tsf.layer_norm(xs, bparams['norm'], bb.ln_eps)
@@ -210,5 +228,6 @@ def stream_step(params: Dict[str, Any], cfg: mt.SeekerConfig, state: StreamState
         fp = params['flag_linear']
         flags = (jnp.einsum('bhwd,df->bhwf', feats, fp['w']) + fp['b']).mean(axis=(1, 2))
 
-    new_state = StreamState(k_cache=k_new, v_cache=v_new, cls_in=cls_in_new, t=t + 1)
+    new_state = StreamState(k_cache=tuple(k_new), v_cache=tuple(v_new),
+                            cls_in=cls_in_new, t=t + 1)
     return new_state, mask.astype(jnp.float32), flags
