@@ -33,6 +33,11 @@ def shared_args(parser: argparse.ArgumentParser):
                              'compatibility and treated as tpu.')
     parser.add_argument('--batch_size', default=4, type=int)
     parser.add_argument('--num_workers', default=-1, type=int)
+    parser.add_argument('--worker_mode', default='thread', type=str,
+                        choices=['thread', 'process'],
+                        help='Data-loader workers: "thread" (few-core hosts / CI) or '
+                             '"process" (fork pool; scales item loading with cores like '
+                             'the reference\'s torch DataLoader workers).')
     parser.add_argument('--checkpoint_root', default='checkpoints/', type=str)
     parser.add_argument('--log_root', default='logs/', type=str)
     parser.add_argument('--name', '--tag', default='', type=str)

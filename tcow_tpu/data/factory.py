@@ -6,8 +6,12 @@ substring/extension, the train->test dset_args propagation with an explicit over
 whitelist (use_data_frac, augs_2d=False, num_queries) to block train/test domain shift, and
 plugin test args (prefetch=True, center_crop).
 
-The loader here is a lightweight thread-pool prefetcher producing numpy batches (the
-reference uses torch DataLoader worker processes, data.py:74-84).
+The loader is a bounded-prefetch batcher with selectable worker mode: 'thread' (default;
+right for few-core hosts and CI) or 'process' (fork-based worker pool like the reference's
+torch DataLoader workers, data.py:74-84 — use on many-core production hosts where the
+cv2/numpy item pipeline would serialize on the GIL). Items are deterministic functions of
+(seed, epoch, index, retries) (kubric.py:_item_rng), so both modes produce identical
+batches.
 '''
 
 import queue
@@ -31,12 +35,29 @@ def is_plugin_source(p: str) -> bool:
             or pl.endswith(('.mp4', '.avi', '.gif', '.webm')))
 
 
+# Fork-inherited dataset for process workers: stashed in a module global BEFORE the pool
+# forks, so worker tasks only pickle (function, index) and the dataset object itself never
+# crosses a pipe. Result items (numpy dicts) do get pickled back, which measures a few
+# percent of the per-item cost.
+_WORKER_DATASET = None
+
+
+def _process_worker_getitem(idx: int):
+    return _WORKER_DATASET[idx]
+
+
 class PrefetchLoader:
-    '''Iterates a dataset in batches with background workers + bounded prefetch.'''
+    '''Iterates a dataset in batches with background workers + bounded prefetch.
+
+    worker_mode 'thread' shares the parent's GIL (fine when item decode is cv2/numpy-bound
+    on few cores); 'process' forks a worker pool per epoch (Linux only) so item loading
+    scales with cores. Collation always happens in the parent (its RNG is a sequential
+    stream), so batches are identical across modes.'''
 
     def __init__(self, dataset, batch_size: int, collate_fn: Callable, shuffle: bool,
                  drop_last: bool, num_workers: int = 2, prefetch_depth: int = 2,
-                 seed: int = 0):
+                 seed: int = 0, worker_mode: str = 'thread'):
+        assert worker_mode in ('thread', 'process'), worker_mode
         self.dataset = dataset
         self.batch_size = batch_size
         self.collate_fn = collate_fn
@@ -45,6 +66,7 @@ class PrefetchLoader:
         self.num_workers = max(1, num_workers)
         self.prefetch_depth = prefetch_depth
         self.seed = seed
+        self.worker_mode = worker_mode
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -68,14 +90,32 @@ class PrefetchLoader:
         q: 'queue.Queue' = queue.Queue(maxsize=self.prefetch_depth)
         stop = threading.Event()
 
-        def producer():
+        def make_pool():
             import concurrent.futures
-            with concurrent.futures.ThreadPoolExecutor(self.num_workers) as pool:
+            if self.worker_mode == 'process':
+                import multiprocessing as mp
+                if 'fork' not in mp.get_all_start_methods():
+                    if getattr(self.dataset, 'logger', None) is not None:
+                        self.dataset.logger.warning(
+                            'worker_mode=process needs fork (Linux); using threads.')
+                    return (concurrent.futures.ThreadPoolExecutor(self.num_workers),
+                            self.dataset.__getitem__)
+                global _WORKER_DATASET
+                _WORKER_DATASET = self.dataset  # inherited by the forked workers
+                pool = concurrent.futures.ProcessPoolExecutor(
+                    self.num_workers, mp_context=mp.get_context('fork'))
+                return pool, _process_worker_getitem
+            return (concurrent.futures.ThreadPoolExecutor(self.num_workers),
+                    self.dataset.__getitem__)
+
+        def producer():
+            pool, getitem = make_pool()
+            with pool:
                 for batch_inds in batches:
                     if stop.is_set():
                         return
                     try:
-                        items = list(pool.map(self.dataset.__getitem__, batch_inds))
+                        items = list(pool.map(getitem, batch_inds))
                         q.put(('ok', self.collate_fn(items)))
                     except Exception as e:
                         q.put(('err', e))
@@ -142,7 +182,9 @@ def create_train_val_data_loaders(args, logger):
             loaders[phase] = PrefetchLoader(ds, args.batch_size, collate, shuffle=True,
                                             drop_last=True,
                                             num_workers=min(args.num_workers, 8),
-                                            seed=args.seed)
+                                            seed=args.seed,
+                                            worker_mode=getattr(args, 'worker_mode',
+                                                                'thread'))
     return loaders['train'], loaders['val_aug'], loaders['val_noaug'], dset_args_sources
 
 
@@ -213,5 +255,6 @@ def create_test_data_loader(train_args: Dict[str, Any], test_args,
 
     loader = PrefetchLoader(ds, test_args.batch_size, collate, shuffle=False,
                             drop_last=False, num_workers=min(test_args.num_workers, 4),
-                            seed=test_args.seed)
+                            seed=test_args.seed,
+                            worker_mode=getattr(test_args, 'worker_mode', 'thread'))
     return loader, test_dset_args_sources

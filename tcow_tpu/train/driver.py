@@ -234,7 +234,13 @@ def _run_one_epoch(args, logger, mesh, state, train_step, eval_step, loader, pha
     profile_start = min(2, max(len(loader) - 1, 0))  # short epochs still get a trace
     tracing = False
     pending_aux, pending_step = None, -1
+    # Loader-vs-device accounting: t_wait = host blocked on the data iterator; the rest of
+    # the epoch wall time is step dispatch + scalar logging (the jitted step is async, so
+    # device time surfaces at the one-step-lagged scalar fetch).
+    t_wait = 0.0
+    t_mark = time.time()
     for cur_step, batch in enumerate(loader):
+        t_wait += time.time() - t_mark
         if cur_step == 0:
             logger.info(f'Enter first data loader iteration took '
                         f'{time.time() - start_time:.3f}s')
@@ -278,14 +284,24 @@ def _run_one_epoch(args, logger, mesh, state, train_step, eval_step, loader, pha
             if num_exceptions >= 20:
                 raise
             logger.exception(e)
+            t_mark = time.time()
             continue
         if cur_step >= 100 and args.is_debug:
             logger.warning('Cutting epoch short for debugging...')
             break
+        t_mark = time.time()
     if pending_aux is not None:
         _log_step_scalars(logger, phase, epoch, pending_step, len(loader), pending_aux)
     if tracing:
         jax.profiler.stop_trace()
+    wall = time.time() - start_time
+    n_steps = pending_step + 1
+    logger.info(f'[{phase}] epoch {epoch} wall {wall:.1f}s over {n_steps} steps: '
+                f'loader wait {t_wait:.1f}s '
+                f'({t_wait / max(wall, 1e-9) * 100:.0f}%), step+log '
+                f'{wall - t_wait:.1f}s — '
+                f'{"loader" if t_wait > wall - t_wait else "device"}-bound')
+    logger.report_scalar(f'{phase}/loader_wait_frac', t_wait / max(wall, 1e-9))
     logger.commit_scalars(step=epoch)
     return state
 

@@ -201,3 +201,31 @@ def test_kubric_cache_reuse(synth_dataset, tmp_path):
     caches = glob.glob(os.path.join(synth_dataset, '*', 'cc_tpu_*.npz'))
     assert len(caches) >= 1
     _ = ds[0]  # second load goes through the cache path
+
+
+def test_prefetch_loader_process_mode_matches_thread_mode(synth_dataset):
+    '''worker_mode='process' (fork pool) must produce byte-identical batches to the thread
+    loader: items are deterministic in (seed, epoch, index, retries) and collation happens
+    in the parent either way.'''
+    from tcow_tpu.data import factory
+
+    def make_loader(mode):
+        ds = KubricQueryDataset(synth_dataset, None, 'train', num_frames=8,
+                                frame_height=32, frame_width=48, max_delay=2,
+                                num_queries=2, max_objects=6, augs_2d=True, seed=5)
+        collate = factory._make_kubric_collate(2, 'train', seed=7)
+        return factory.PrefetchLoader(ds, batch_size=2, collate_fn=collate, shuffle=True,
+                                      drop_last=True, num_workers=2, seed=7,
+                                      worker_mode=mode)
+
+    for epoch in (0, 1):
+        lt, lp = make_loader('thread'), make_loader('process')
+        lt.set_epoch(epoch)
+        lp.set_epoch(epoch)
+        batches_t, batches_p = list(lt), list(lp)
+        assert len(batches_t) == len(batches_p) == 1
+        for bt, bp in zip(batches_t, batches_p):
+            for k in bt['device']:
+                np.testing.assert_array_equal(np.asarray(bt['device'][k]),
+                                              np.asarray(bp['device'][k]), err_msg=k)
+            assert bt['meta']['scene_dn'] == bp['meta']['scene_dn']
