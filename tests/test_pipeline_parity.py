@@ -66,28 +66,18 @@ def batch():
                                             query_time=0)
 
 
-@pytest.fixture(scope='module')
-def reference_run(batch):
-    '''Runs the reference pipeline end to end; returns (loss_retval, model_retval, sd).'''
-    if not conftest.has_reference():
-        pytest.skip('reference checkout unavailable')
-    ref = reference_oracle.import_reference_pipeline()
-    logger = reference_oracle.FakeRefLogger()
-    torch.manual_seed(0)
-
-    net = ref.seeker.Seeker(logger, **_seeker_args())
-    sd = {k: v.detach().clone() for k, v in net.state_dict().items()}
-
-    # Desirability ranks instances by visible pixels at the query frame so that the
-    # deterministic test-phase top-Q selection (my_utils.py:287-302) is well defined and
-    # matches the synthetic batch's own query choice.
+def _ref_data_retval(batch):
+    '''The reference pipeline's input dict for the synthetic batch. Desirability ranks
+    instances by visible pixels at the query frame so that the deterministic test-phase
+    top-Q selection (my_utils.py:287-302) is well defined and matches the synthetic
+    batch's own query choice.'''
     desirability = np.full((B, M, 7), -1.0, np.float32)
     for b in range(B):
         for k in range(K):
             desirability[b, k, 0] = float((batch['segm'][b, 0] == k + 1).sum())
 
     t = lambda x, dt: torch.as_tensor(np.asarray(x), dtype=dt)
-    data_retval = {
+    return {
         'source_name': ['kubric'] * B,
         'within_batch_idx': torch.arange(B),
         'scene_dp': ['synthetic'] * B,
@@ -104,6 +94,21 @@ def reference_run(batch):
             },
         },
     }
+
+
+@pytest.fixture(scope='module')
+def reference_run(batch):
+    '''Runs the reference pipeline end to end; returns (loss_retval, model_retval, sd).'''
+    if not conftest.has_reference():
+        pytest.skip('reference checkout unavailable')
+    ref = reference_oracle.import_reference_pipeline()
+    logger = reference_oracle.FakeRefLogger()
+    torch.manual_seed(0)
+
+    net = ref.seeker.Seeker(logger, **_seeker_args())
+    sd = {k: v.detach().clone() for k, v in net.state_dict().items()}
+
+    data_retval = _ref_data_retval(batch)
 
     pipeline = ref.pipeline.MyTrainPipeline(_Args(), logger, {'seeker': net},
                                             torch.device('cpu'))
@@ -214,3 +219,67 @@ def test_flagship_geometry_forward_parity():
                                atol=5e-4, rtol=5e-4)
     np.testing.assert_allclose(np.asarray(our_flags), ref_flags.numpy(),
                                atol=5e-4, rtol=5e-4)
+
+
+def test_training_dynamics_parity(batch, reference_run):
+    '''TRAINING-DYNAMICS parity: three AdamW steps on the same batch, reference torch
+    stack (pipeline forward -> total_seeker.backward -> clip_grad_norm_(0.3) ->
+    torch.optim.AdamW) vs this package's single jitted train step (value_and_grad ->
+    clip_by_global_norm(0.3) -> optax.adamw), from IDENTICAL initial weights. The
+    per-step loss trajectories must track, which pins down gradient flow, clipping, and
+    optimizer semantics jointly — as close to end-to-end training parity as is possible
+    without the real dataset/pretrained weights (reference train.py:85-102).'''
+    _, model_retval0, sd = reference_run
+    ref = reference_oracle.import_reference_pipeline()
+    logger = reference_oracle.FakeRefLogger()
+
+    net = ref.seeker.Seeker(logger, **_seeker_args())
+    net.load_state_dict(sd)
+    pipeline = ref.pipeline.MyTrainPipeline(_Args(), logger, {'seeker': net},
+                                            torch.device('cpu'))
+    pipeline.set_phase('test')     # deterministic top-Q query selection
+    torch.set_grad_enabled(True)   # set_phase('test') disabled grads globally
+    opt = torch.optim.AdamW(net.parameters(), lr=1e-4)  # train.py:228-241 defaults
+    data_retval = _ref_data_retval(batch)
+
+    n_steps = 3
+    ref_losses = []
+    for i in range(n_steps):
+        model_retval, loss_retval = pipeline(data_retval, i, i, 0, PROGRESS, True, False)
+        loss_retval = pipeline.process_entire_batch(
+            data_retval, model_retval, loss_retval, i, i, 0, PROGRESS)
+        total = loss_retval['total_seeker']
+        ref_losses.append(float(total.detach()))
+        opt.zero_grad()
+        total.backward()
+        torch.nn.utils.clip_grad_norm_(net.parameters(), 0.3)
+        opt.step()
+    torch.set_grad_enabled(False)
+
+    from tcow_tpu.models import torch_import
+    from tcow_tpu.models.mask_tracker import seeker_config_from_args
+    from tcow_tpu.objectives.losses import LossConfig
+    from tcow_tpu.train import optim as optim_lib, step as step_lib
+
+    cfg = seeker_config_from_args(_seeker_args(), compute_dtype=jnp.float32)
+    params = torch_import.seeker_params_from_torch(sd, cfg)
+    step_cfg = step_lib.StepConfig(
+        seeker=cfg, loss=LossConfig(qt_downweight_last_only=True), num_queries=Q)
+    tx = optim_lib.make_optimizer('adamw', learn_rate=1e-4, num_epochs=70,
+                                  steps_per_epoch=1000)
+    state = step_lib.init_train_state(jax.random.key(0), step_cfg, tx, params=params)
+    train_step = jax.jit(step_lib.make_train_step(step_cfg, tx))
+
+    our_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    our_batch['query_inds'] = jnp.asarray(
+        np.asarray(model_retval0['sel_query_inds'], np.int32))
+
+    our_losses = []
+    for i in range(n_steps):
+        state, aux = train_step(state, our_batch, jnp.float32(PROGRESS))
+        our_losses.append(float(aux['total_seeker']))
+
+    np.testing.assert_allclose(our_losses, ref_losses, rtol=1e-3, atol=2e-5)
+    # The updates must actually move the loss (not a frozen no-op on either side).
+    assert ref_losses[-1] < ref_losses[0]
+    assert our_losses[-1] < our_losses[0]
