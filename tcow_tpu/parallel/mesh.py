@@ -37,8 +37,18 @@ def make_mesh(num_devices: Optional[int] = None, seq: int = 1,
 
 
 def replicate_tree(tree, mesh: Mesh):
-    '''Places every leaf fully replicated across the mesh.'''
+    '''Places every leaf fully replicated across the mesh. Works in both single-process
+    and multi-host execution (where device_put to non-addressable devices is illegal;
+    every process holds the same values, e.g. the same-seed initialized params).'''
     sharding = NamedSharding(mesh, P())
+    if jax.process_count() > 1:
+        def leaf(v):
+            if hasattr(v, 'dtype') and jax.dtypes.issubdtype(v.dtype, jax.dtypes.prng_key):
+                data = jax.make_array_from_process_local_data(
+                    sharding, np.asarray(jax.random.key_data(v)))
+                return jax.random.wrap_key_data(data, impl=jax.random.key_impl(v))
+            return jax.make_array_from_process_local_data(sharding, np.asarray(v))
+        return jax.tree.map(leaf, tree)
     return jax.device_put(tree, sharding)
 
 
@@ -50,7 +60,17 @@ def batch_sharding(mesh: Mesh, leaf) -> NamedSharding:
 
 
 def shard_batch(batch: Dict[str, Any], mesh: Mesh):
-    '''Device-puts a host batch with the batch axis sharded over the data axis.'''
+    '''Device-puts a host batch with the batch axis sharded over the data axis.
+
+    Multi-host: jax.make_array_from_process_local_data assembles the global array without
+    cross-host transfers. Each process may pass EITHER the full global batch (identical on
+    every process, e.g. same-seed loaders — the API slices out this process's addressable
+    rows) or just its process-local rows (local leading dim = B_global / process_count,
+    in mesh/process order). Scalars must be identical on every process.'''
+    if jax.process_count() > 1:
+        return {k: jax.make_array_from_process_local_data(batch_sharding(mesh, v),
+                                                          np.asarray(v))
+                for k, v in batch.items()}
     return {k: jax.device_put(v, batch_sharding(mesh, v)) for k, v in batch.items()}
 
 

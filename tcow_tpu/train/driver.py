@@ -171,6 +171,8 @@ def main(args, logger):
     def checkpoint_fn(epoch, final: bool = False):
         if not args.checkpoint_path:
             return
+        if jax.process_index() != 0:
+            return  # multi-host: one writer (state is replicated; shared-FS race otherwise)
         save_every = max(getattr(args, 'save_every', 1), 1)
         if epoch >= 0 and not final and epoch % save_every != 0 \
                 and epoch % args.checkpoint_every != 0:

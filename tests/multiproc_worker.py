@@ -1,0 +1,62 @@
+'''
+Worker for the REAL multi-host execution test (tests/test_multiprocess.py): one of N
+jax.distributed processes, each with 2 virtual CPU devices, jointly running the jitted
+train step over a global data mesh. Prints the resulting loss as `LOSS <value>` so the
+parent can compare across processes and against the single-process oracle.
+
+Usage: python multiproc_worker.py <coordinator_port> <process_id> <num_processes>
+'''
+
+import os
+import sys
+
+
+def main():
+    port, pid, nproc = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
+    os.environ['JAX_PLATFORMS'] = 'cpu'
+    flags = os.environ.get('XLA_FLAGS', '')
+    flags = ' '.join(f for f in flags.split()
+                     if 'xla_force_host_platform_device_count' not in f)
+    os.environ['XLA_FLAGS'] = (flags + ' --xla_force_host_platform_device_count=2').strip()
+
+    import jax
+    jax.config.update('jax_platforms', 'cpu')
+    jax.distributed.initialize(coordinator_address=f'localhost:{port}',
+                               num_processes=nproc, process_id=pid)
+    assert jax.process_count() == nproc, jax.process_count()
+    assert jax.local_device_count() == 2, jax.local_devices()
+
+    import jax.numpy as jnp
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from tcow_tpu.data.synthetic import synthetic_device_batch
+    from tcow_tpu.models import timesformer as tsf
+    from tcow_tpu.models.mask_tracker import SeekerConfig
+    from tcow_tpu.objectives.losses import LossConfig
+    from tcow_tpu.parallel import mesh as mesh_lib
+    from tcow_tpu.train import optim, step as step_lib
+
+    tsf.DEPTH_PRESETS.setdefault(2, (48, 4))
+    seeker = SeekerConfig(num_total_frames=4, frame_height=32, frame_width=48,
+                          causal_attention=1, drop_path_rate=0.0, network_depth=2,
+                          batch_axis=mesh_lib.DATA_AXIS)
+    cfg = step_lib.StepConfig(seeker=seeker, loss=LossConfig(), num_queries=2)
+    tx = optim.make_optimizer('adamw', learn_rate=1e-4, num_epochs=10, steps_per_epoch=10)
+    state = step_lib.init_train_state(jax.random.key(0), cfg, tx)  # same seed everywhere
+    train_step = jax.jit(step_lib.make_train_step(cfg, tx), donate_argnums=(0,))
+
+    # Every process loads the same GLOBAL batch (same seed); shard_batch slices out this
+    # process's addressable rows.
+    batch_np = synthetic_device_batch(0, B=2 * nproc, Q=2, T=4, H=32, W=48, M=6, K=3)
+    mesh = mesh_lib.make_mesh()  # all processes' devices
+    assert len(mesh.devices.flatten()) == 2 * nproc
+    with jax.set_mesh(mesh):
+        state = mesh_lib.replicate_tree(state, mesh)
+        batch = mesh_lib.shard_batch(batch_np, mesh)
+        state, aux = train_step(state, batch, jnp.float32(0.1))
+        loss = float(aux['total_seeker'])
+    print(f'LOSS {loss:.8f}', flush=True)
+    jax.distributed.shutdown()
+
+
+if __name__ == '__main__':
+    main()
