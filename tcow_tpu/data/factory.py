@@ -35,11 +35,17 @@ def is_plugin_source(p: str) -> bool:
             or pl.endswith(('.mp4', '.avi', '.gif', '.webm')))
 
 
-# Fork-inherited dataset for process workers: stashed in a module global BEFORE the pool
-# forks, so worker tasks only pickle (function, index) and the dataset object itself never
-# crosses a pipe. Result items (numpy dicts) do get pickled back, which measures a few
-# percent of the per-item cost.
+# Fork-inherited dataset for process workers, bound per-worker via the pool initializer:
+# under the fork start method initargs are inherited by reference (never pickled), so
+# worker tasks only pickle (function, index) and results; the dataset object itself never
+# crosses a pipe. Each executor binds its own dataset even if several loaders iterate
+# concurrently (workers are forked lazily at first submit in py3.12+).
 _WORKER_DATASET = None
+
+
+def _bind_worker_dataset(dataset):
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
 
 
 def _process_worker_getitem(idx: int):
@@ -100,10 +106,9 @@ class PrefetchLoader:
                             'worker_mode=process needs fork (Linux); using threads.')
                     return (concurrent.futures.ThreadPoolExecutor(self.num_workers),
                             self.dataset.__getitem__)
-                global _WORKER_DATASET
-                _WORKER_DATASET = self.dataset  # inherited by the forked workers
                 pool = concurrent.futures.ProcessPoolExecutor(
-                    self.num_workers, mp_context=mp.get_context('fork'))
+                    self.num_workers, mp_context=mp.get_context('fork'),
+                    initializer=_bind_worker_dataset, initargs=(self.dataset,))
                 return pool, _process_worker_getitem
             return (concurrent.futures.ThreadPoolExecutor(self.num_workers),
                     self.dataset.__getitem__)
