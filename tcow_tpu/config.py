@@ -100,6 +100,11 @@ def train_args(argv=None):
                         choices=['divided_space_time', 'joint_space_time'])
     parser.add_argument('--patch_size', default=16, type=int)
     parser.add_argument('--causal_attention', default=1, type=int)
+    parser.add_argument('--temporal_rope', default=0, type=int,
+                        help='1: rotary (relative) time encoding on temporal attention — '
+                             'windowed streaming then extrapolates past the trained '
+                             'horizon without clamping time indices. New over the '
+                             'reference; requires training with the flag on.')
     parser.add_argument('--norm_embeddings', default=False, type=_str2bool)
     parser.add_argument('--drop_path_rate', default=0.1, type=float)
     parser.add_argument('--network_depth', default=12, type=int)
@@ -222,6 +227,7 @@ def build_seeker_args(args) -> Dict[str, Any]:
         attention_type=args.attention_type,
         patch_size=args.patch_size,
         causal_attention=args.causal_attention,
+        temporal_rope=int(getattr(args, 'temporal_rope', 0)),
         norm_embeddings=args.norm_embeddings,
         drop_path_rate=args.drop_path_rate,
         network_depth=args.network_depth,

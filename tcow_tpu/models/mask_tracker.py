@@ -50,6 +50,7 @@ class SeekerConfig:
     remat_policy: str = 'full'  # 'full' | 'dots' | 'dots_nb'
     remat_group: int = 1  # blocks per checkpoint region (see TimeSformerConfig)
     use_pallas_attention: bool = False  # fused attention kernels (TPU; best for inference)
+    temporal_rope: bool = False  # rotary (relative) time encoding on temporal attention
     attention_bwd: str = 'res'  # 'res' | 'kernel_qkv' | 'kernel_x' (ops/pallas_attention.py)
     batch_axis: Any = None  # mesh axis names for DP / sequence parallelism (see
     seq_axis: Any = None    # timesformer.TimeSformerConfig)
@@ -71,7 +72,7 @@ class SeekerConfig:
             remat=self.remat, remat_policy=self.remat_policy,
             remat_group=self.remat_group,
             use_pallas_attention=self.use_pallas_attention,
-            attention_bwd=self.attention_bwd,
+            attention_bwd=self.attention_bwd, temporal_rope=self.temporal_rope,
             batch_axis=self.batch_axis, seq_axis=self.seq_axis)
 
 
@@ -99,6 +100,7 @@ def seeker_config_from_args(seeker_args: Dict[str, Any], **overrides) -> SeekerC
         query_channels=int(seeker_args.get('query_channels', 1)),
         output_channels=int(seeker_args.get('output_channels', 3)),
         flag_channels=int(seeker_args.get('flag_channels', 3)),
+        temporal_rope=bool(int(seeker_args.get('temporal_rope', 0))),
         pretrained=pretrained)
     kw.update(overrides)
     return SeekerConfig(**kw)

@@ -35,6 +35,7 @@ import jax.numpy as jnp
 
 from tcow_tpu.models import timesformer as tsf
 from tcow_tpu.models import mask_tracker as mt
+from tcow_tpu.ops import rope as rope_lib
 
 
 class StreamState(NamedTuple):
@@ -184,10 +185,20 @@ def stream_step(params: Dict[str, Any], cfg: mt.SeekerConfig, state: StreamState
         y = tsf.layer_norm(xs, pb['temporal_norm1'], bb.ln_eps)
         q, k, v = _qkv_heads(pb['temporal_attn'], y, nh)
         Bq, Nq, Dq = k.shape
-        k_all = jax.lax.dynamic_update_index_in_dim(
-            state.k_cache[l], k.reshape(Bq, Nq, nh, Dq // nh), slot, axis=3)
+        dh = Dq // nh
+        k5 = k.reshape(Bq, Nq, nh, dh)
+        if bb.temporal_rope:
+            # Rotate q and the cached key by the ABSOLUTE frame index (ops/rope.py): the
+            # cache then holds rotated keys and logits depend only on relative offsets,
+            # so no time index ever clamps — the windowed stream extrapolates past the
+            # trained horizon smoothly (pinned-frame offsets still grow with t).
+            cos_t, sin_t = rope_lib.rope_tables(t.astype(jnp.float32), dh)
+            q = rope_lib.apply_rope(q.reshape(Bq, Nq, nh, dh),
+                                    cos_t, sin_t).reshape(Bq, Nq, Dq)
+            k5 = rope_lib.apply_rope(k5, cos_t, sin_t)
+        k_all = jax.lax.dynamic_update_index_in_dim(state.k_cache[l], k5, slot, axis=3)
         v_all = jax.lax.dynamic_update_index_in_dim(
-            state.v_cache[l], v.reshape(Bq, Nq, nh, Dq // nh), slot, axis=3)
+            state.v_cache[l], v.reshape(Bq, Nq, nh, dh), slot, axis=3)
         res_t = _attend_cached(q, k_all, v_all, nh, valid)
         res_t = tsf._dense(res_t, pb['temporal_attn']['proj'])
         res_t = tsf._dense(res_t, pb['temporal_fc'])

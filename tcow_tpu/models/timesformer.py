@@ -63,6 +63,10 @@ class TimeSformerConfig:
     #   overhead (only group boundaries are saved) at G x the per-region activation memory
     use_pallas_attention: bool = False  # fused VMEM-resident attention kernels (TPU only)
     attention_bwd: str = 'res'  # 'res' | 'kernel_qkv' | 'kernel_x' (pallas_attention.py)
+    temporal_rope: bool = False  # rotary time encoding on temporal attention (relative
+    #   offsets only -> windowed streaming extrapolates past the trained horizon without
+    #   the time-embedding clamp approximation; needs training with the flag on). NEW
+    #   capability over the reference (ops/rope.py).
     # Sequence parallelism (Ulysses-style for divided attention, SURVEY.md section 5.7):
     # when seq_axis names a mesh axis (caller must be under jax.set_mesh of an Auto-axes
     # mesh), the patch axis is sharded over it during temporal attention and the frame axis
@@ -175,7 +179,7 @@ def _dense(x, p):
 
 
 def attention(p, x, num_heads: int, causal_attention: int = 0, use_pallas: bool = False,
-              attention_bwd: str = 'res'):
+              attention_bwd: str = 'res', rope: bool = False):
     '''Multi-head self-attention over the second-to-last axis.
 
     Mirrors reference `Attention.forward` (vit.py:78-123): qkv projection with bias, scale
@@ -185,6 +189,9 @@ def attention(p, x, num_heads: int, causal_attention: int = 0, use_pallas: bool 
 
     With use_pallas (TPU), the whole call runs as one fused VMEM-resident kernel
     (tcow_tpu.ops.pallas_attention).
+
+    With rope (temporal attention only, new over the reference), q/k are rotated by their
+    row position so logits depend only on relative offsets (tcow_tpu/ops/rope.py).
 
     :param x (..., S, D).
     :return (..., S, D).
@@ -196,7 +203,7 @@ def attention(p, x, num_heads: int, causal_attention: int = 0, use_pallas: bool 
         flat = x.reshape(-1, S, D)
         out = pa.fused_attention(flat, p['qkv']['w'], p['qkv']['b'],
                                  p['proj']['w'], p['proj']['b'],
-                                 num_heads, causal_attention, attention_bwd)
+                                 num_heads, causal_attention, attention_bwd, rope)
         # Named so the 'dots_nb_out*' remat policies can keep the attention output across
         # the per-block checkpoint boundary (no forward-kernel re-run in the backward).
         out = checkpoint_name(out, 'attn_out')
@@ -208,6 +215,11 @@ def attention(p, x, num_heads: int, causal_attention: int = 0, use_pallas: bool 
     q = jnp.moveaxis(qkv[..., 0, :, :], -2, -3)                 # (..., h, S, dh)
     k = jnp.moveaxis(qkv[..., 1, :, :], -2, -3)
     v = jnp.moveaxis(qkv[..., 2, :, :], -2, -3)
+    if rope:
+        from tcow_tpu.ops import rope as rope_lib
+        cos, sin = rope_lib.rope_tables(jnp.arange(S), dh)
+        q = rope_lib.apply_rope(q, cos, sin)
+        k = rope_lib.apply_rope(k, cos, sin)
 
     logits = jnp.einsum('...qd,...kd->...qk', q, k,
                         preferred_element_type=jnp.float32) * scale  # (..., h, S, S)
@@ -309,7 +321,7 @@ def _divided_block(p, xs, cls, cfg: TimeSformerConfig, dpr, rngs):
     y = layer_norm(xs, p['temporal_norm1'], cfg.ln_eps)
     res_t = attention(p['temporal_attn'], y, nh, causal_attention=ca,
                       use_pallas=cfg.use_pallas_attention,
-                      attention_bwd=cfg.attention_bwd)
+                      attention_bwd=cfg.attention_bwd, rope=cfg.temporal_rope)
     res_t = drop_path(res_t, dpr, r('t'), row_ndim=2)  # independent mask per (b, n)
     res_t = _dense(res_t, p['temporal_fc'])
     xt = xs + res_t

@@ -22,12 +22,15 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from tcow_tpu.ops import rope as rope_lib
+
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def attention_ref(x, qkv_w, qkv_b, proj_w, proj_b, num_heads: int, causal_attention: int):
+def attention_ref(x, qkv_w, qkv_b, proj_w, proj_b, num_heads: int, causal_attention: int,
+                  rope: bool = False):
     '''Reference XLA implementation over (B, S, D); the kernel must match this exactly.'''
     B, S, D = x.shape
     dh = D // num_heads
@@ -37,6 +40,10 @@ def attention_ref(x, qkv_w, qkv_b, proj_w, proj_b, num_heads: int, causal_attent
     q = jnp.moveaxis(qkv[:, :, 0], 2, 1)
     k = jnp.moveaxis(qkv[:, :, 1], 2, 1)
     v = jnp.moveaxis(qkv[:, :, 2], 2, 1)
+    if rope:
+        cos, sin = rope_lib.rope_tables(jnp.arange(S), dh)
+        q = rope_lib.apply_rope(q, cos, sin)
+        k = rope_lib.apply_rope(k, cos, sin)
     logits = jnp.einsum('bhqd,bhkd->bhqk', q, k,
                         preferred_element_type=jnp.float32) * scale
     if causal_attention > 0:
@@ -51,7 +58,8 @@ def attention_ref(x, qkv_w, qkv_b, proj_w, proj_b, num_heads: int, causal_attent
 
 def _kernel(x_ref, qkv_w_ref, qkv_b_ref, proj_w_ref, proj_b_ref, out_ref,
             qkv_out_ref=None, probs_out_ref=None, attn_out_ref=None, *,
-            num_heads: int, causal_attention: int, seq_len: int, pack: int):
+            num_heads: int, causal_attention: int, seq_len: int, pack: int,
+            rope: bool = False):
     '''Grid cell: a group of G whole sequences. Shapes (G, S_pad, D) in VMEM.
 
     `pack` sequences share one score matmul with a block-diagonal mask: short sequences
@@ -81,11 +89,15 @@ def _kernel(x_ref, qkv_w_ref, qkv_b_ref, proj_w_ref, proj_b_ref, out_ref,
         mask = jnp.logical_and(mask, (col_ids % S) <= (row_ids % S) + diag)
 
     qkv_p = qkv.reshape(G // P, SP, 3 * D)
+    rope_cs = rope_lib.packed_tables(SP, S, dh) if rope else None
     outs = []
     for h in range(num_heads):
         q = qkv_p[:, :, h * dh:(h + 1) * dh]
         k = qkv_p[:, :, D + h * dh:D + (h + 1) * dh]
         v = qkv_p[:, :, 2 * D + h * dh:2 * D + (h + 1) * dh]
+        if rope:
+            q = rope_lib.apply_rope(q, *rope_cs)
+            k = rope_lib.apply_rope(k, *rope_cs)
         logits = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
                                      preferred_element_type=jnp.float32) * scale
         logits = jnp.where(mask[None], logits, jnp.float32(-1e10))
@@ -120,9 +132,9 @@ def _pick_group(S_pad: int, D: int, dtype_bytes: int) -> int:
     return p
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
 def fused_attention(x, qkv_w, qkv_b, proj_w, proj_b, num_heads: int,
-                    causal_attention: int, bwd_mode: str = 'res'):
+                    causal_attention: int, bwd_mode: str = 'res', rope: bool = False):
     '''Fused attention over (B, S, D); differentiable. The primal (inference) call skips
     residual outputs entirely, which keeps VMEM in budget at long sequence lengths (the
     ViT-L 480x640 stretch config has S = 1201).
@@ -139,7 +151,8 @@ def fused_attention(x, qkv_w, qkv_b, proj_w, proj_b, num_heads: int,
     Under per-block remat, pair the kernel modes with the 'dots_nb_out'(+'_qkv') policies
     in timesformer.py so the forward kernel is never re-run in the backward pass.'''
     return _fused_attention_fwd_impl(x, qkv_w, qkv_b, proj_w, proj_b, num_heads,
-                                     causal_attention, want_residuals=False)[0]
+                                     causal_attention, want_residuals=False,
+                                     rope=rope)[0]
 
 
 def _geometry(x, num_heads):
@@ -175,7 +188,7 @@ def _fwd_vmem_limit(x, G, S_pad, pack, D):
 
 def _fused_attention_fwd_impl(x, qkv_w, qkv_b, proj_w, proj_b, num_heads,
                               causal_attention, interpret: bool = False,
-                              want_residuals: bool = True):
+                              want_residuals: bool = True, rope: bool = False):
     B, S, D, S_pad, pack, G, B_pad = _geometry(x, num_heads)
     SP = S_pad * pack
     xp = x
@@ -185,7 +198,7 @@ def _fused_attention_fwd_impl(x, qkv_w, qkv_b, proj_w, proj_b, num_heads,
     if want_residuals == 'qkv':
         kernel = functools.partial(_kernel, num_heads=num_heads,
                                    causal_attention=causal_attention, seq_len=S,
-                                   pack=pack)
+                                   pack=pack, rope=rope)
 
         def kernel_qkv_only(x_ref, qw, qb, pw, pb, out_ref, qkv_out_ref):
             kernel(x_ref, qw, qb, pw, pb, out_ref, qkv_out_ref=qkv_out_ref)
@@ -208,7 +221,8 @@ def _fused_attention_fwd_impl(x, qkv_w, qkv_b, proj_w, proj_b, num_heads,
         return out[:B, :S], qkv, None, None
 
     kernel = functools.partial(_kernel, num_heads=num_heads,
-                               causal_attention=causal_attention, seq_len=S, pack=pack)
+                               causal_attention=causal_attention, seq_len=S, pack=pack,
+                               rope=rope)
     out_shape = [jax.ShapeDtypeStruct((B_pad, S_pad, D), x.dtype)]
     out_specs = [pl.BlockSpec((G, S_pad, D), lambda i: (i, 0, 0),
                               memory_space=pltpu.VMEM)]
@@ -253,23 +267,24 @@ def _fused_attention_fwd_impl(x, qkv_w, qkv_b, proj_w, proj_b, num_heads,
     return out[:B, :S], qkv, probs, attn
 
 
-def _fwd(x, qkv_w, qkv_b, proj_w, proj_b, num_heads, causal_attention, bwd_mode):
+def _fwd(x, qkv_w, qkv_b, proj_w, proj_b, num_heads, causal_attention, bwd_mode, rope):
     from jax.ad_checkpoint import checkpoint_name
     if bwd_mode == 'kernel_x':
         out = _fused_attention_fwd_impl(x, qkv_w, qkv_b, proj_w, proj_b, num_heads,
-                                        causal_attention, want_residuals=False)[0]
+                                        causal_attention, want_residuals=False,
+                                        rope=rope)[0]
         return out, (x, qkv_w, qkv_b, proj_w)
     if bwd_mode == 'kernel_qkv':
         out, qkv, _, _ = _fused_attention_fwd_impl(x, qkv_w, qkv_b, proj_w, proj_b,
                                                    num_heads, causal_attention,
-                                                   want_residuals='qkv')
+                                                   want_residuals='qkv', rope=rope)
         # Named so the 'dots_nb_out_qkv' remat policy can keep qkv across the per-block
         # checkpoint boundary (the fwd kernel is then never re-run in the backward).
         qkv = checkpoint_name(qkv, 'attn_qkv')
         return out, (x, qkv, qkv_w, qkv_b, proj_w)
     assert bwd_mode == 'res', bwd_mode
     out, qkv, probs, attn = _fused_attention_fwd_impl(
-        x, qkv_w, qkv_b, proj_w, proj_b, num_heads, causal_attention)
+        x, qkv_w, qkv_b, proj_w, proj_b, num_heads, causal_attention, rope=rope)
     # Name the residuals so a remat policy (save_only_these_names) can keep them across the
     # per-block checkpoint boundary, avoiding any attention recompute in the backward.
     qkv = checkpoint_name(qkv, 'attn_res')
@@ -279,21 +294,23 @@ def _fwd(x, qkv_w, qkv_b, proj_w, proj_b, num_heads, causal_attention, bwd_mode)
     return out, (x_res, qkv, probs, attn, qkv_w, proj_w)
 
 
-def _bwd(num_heads, causal_attention, bwd_mode, residuals, g):
+def _bwd(num_heads, causal_attention, bwd_mode, rope, residuals, g):
     if bwd_mode == 'kernel_x':
         x, qkv_w, qkv_b, proj_w = residuals
         return _fused_attention_bwd_impl(x, g, qkv_w, qkv_b, proj_w, None,
-                                         num_heads, causal_attention)
+                                         num_heads, causal_attention, rope=rope)
     if bwd_mode == 'kernel_qkv':
         x, qkv, qkv_w, qkv_b, proj_w = residuals
         return _fused_attention_bwd_impl(x, g, qkv_w, qkv_b, proj_w, qkv,
-                                         num_heads, causal_attention)
-    return _bwd_res(num_heads, causal_attention, residuals, g)
+                                         num_heads, causal_attention, rope=rope)
+    return _bwd_res(num_heads, causal_attention, residuals, g, rope)
 
 
-def _bwd_res(num_heads, causal_attention, residuals, g):
+def _bwd_res(num_heads, causal_attention, residuals, g, rope: bool = False):
     '''Explicit attention backward from saved residuals (packed layout; off-block probs are
-    exactly zero, so packed matmuls produce correct per-sequence gradients).'''
+    exactly zero, so packed matmuls produce correct per-sequence gradients). The saved qkv
+    is UN-rotated; with rope the score-path gradients are computed against rotated q/k and
+    un-rotated (R is orthogonal: dq = R^T dq_rot) before entering the qkv projection.'''
     x, qkv, probs, attn, qkv_w, proj_w = residuals
     B, S, D, S_pad, pack, G, B_pad = _geometry(x, num_heads)
     SP = S_pad * pack
@@ -313,11 +330,15 @@ def _bwd_res(num_heads, causal_attention, residuals, g):
     dattn = jnp.dot(g2, proj_w.astype(cdt).T).reshape(B_pad // pack, SP, D)
 
     qkv_p = qkv.reshape(B_pad // pack, SP, 3 * D)
+    rope_cs = rope_lib.packed_tables(SP, S_pad, dh) if rope else None
     dqkv = []
     for h in range(num_heads):
         q = qkv_p[:, :, h * dh:(h + 1) * dh]
         k = qkv_p[:, :, D + h * dh:D + (h + 1) * dh]
         v = qkv_p[:, :, 2 * D + h * dh:2 * D + (h + 1) * dh]
+        if rope:
+            q = rope_lib.apply_rope(q, *rope_cs)
+            k = rope_lib.apply_rope(k, *rope_cs)
         p_h = probs[:, h]                                              # (Bp/P, SP, SP)
         da_h = dattn[:, :, h * dh:(h + 1) * dh]
         dv = jax.lax.dot_general(p_h, da_h, (((1,), (1,)), ((0,), (0,))),
@@ -331,6 +352,9 @@ def _bwd_res(num_heads, causal_attention, residuals, g):
                                  preferred_element_type=jnp.float32).astype(cdt)
         dk = jax.lax.dot_general(dlog, q, (((1,), (1,)), ((0,), (0,))),
                                  preferred_element_type=jnp.float32).astype(cdt)
+        if rope:
+            dq = rope_lib.apply_rope(dq, *rope_cs, inverse=True)
+            dk = rope_lib.apply_rope(dk, *rope_cs, inverse=True)
         dqkv.append((dq, dk, dv))
     dqkv_full = jnp.concatenate([d for d, _, _ in dqkv] + [d for _, d, _ in dqkv]
                                 + [d for _, _, d in dqkv], axis=-1)
@@ -358,7 +382,7 @@ fused_attention.defvjp(_fwd, _bwd)
 
 def _bwd_kernel(x_ref, g_ref, qkv_w_ref, qkv_b_ref, proj_w_ref, *rest,
                 num_heads: int, causal_attention: int, seq_len: int, pack: int,
-                has_qkv: bool):
+                has_qkv: bool, rope: bool = False):
     if has_qkv:
         qkv_ref, dqkv_ref, attn_ref = rest
     else:
@@ -395,11 +419,15 @@ def _bwd_kernel(x_ref, g_ref, qkv_w_ref, qkv_b_ref, proj_w_ref, *rest,
                                 preferred_element_type=jnp.float32).astype(cdt)
     dattn = dattn.reshape(G // P, SP, D)
 
+    rope_cs = rope_lib.packed_tables(SP, S, dh) if rope else None
     attn_parts, dq_parts, dk_parts, dv_parts = [], [], [], []
     for h in range(num_heads):
         q = qkv_p[:, :, h * dh:(h + 1) * dh]
         k = qkv_p[:, :, D + h * dh:D + (h + 1) * dh]
         v = qkv_p[:, :, 2 * D + h * dh:2 * D + (h + 1) * dh]
+        if rope:
+            q = rope_lib.apply_rope(q, *rope_cs)
+            k = rope_lib.apply_rope(k, *rope_cs)
         logits = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
                                      preferred_element_type=jnp.float32) * scale
         logits = jnp.where(mask[None], logits, jnp.float32(-1e10))
@@ -416,12 +444,15 @@ def _bwd_kernel(x_ref, g_ref, qkv_w_ref, qkv_b_ref, proj_w_ref, *rest,
                                  preferred_element_type=jnp.float32)  # (G/P, SP, SP) f32
         dlog = pf * (dp - jnp.sum(dp * pf, axis=-1, keepdims=True))
         dlog = (dlog * scale).astype(cdt)
-        dq_parts.append(jax.lax.dot_general(dlog, k, (((2,), (1,)), ((0,), (0,))),
-                                            preferred_element_type=jnp.float32)
-                        .astype(cdt))
-        dk_parts.append(jax.lax.dot_general(dlog, q, (((1,), (1,)), ((0,), (0,))),
-                                            preferred_element_type=jnp.float32)
-                        .astype(cdt))
+        dq_h = jax.lax.dot_general(dlog, k, (((2,), (1,)), ((0,), (0,))),
+                                   preferred_element_type=jnp.float32).astype(cdt)
+        dk_h = jax.lax.dot_general(dlog, q, (((1,), (1,)), ((0,), (0,))),
+                                   preferred_element_type=jnp.float32).astype(cdt)
+        if rope:
+            dq_h = rope_lib.apply_rope(dq_h, *rope_cs, inverse=True)
+            dk_h = rope_lib.apply_rope(dk_h, *rope_cs, inverse=True)
+        dq_parts.append(dq_h)
+        dk_parts.append(dk_h)
 
     attn_ref[:] = jnp.concatenate(attn_parts, axis=-1).reshape(G, S, D)
     dqkv_ref[:] = jnp.concatenate(dq_parts + dk_parts + dv_parts,
@@ -429,7 +460,8 @@ def _bwd_kernel(x_ref, g_ref, qkv_w_ref, qkv_b_ref, proj_w_ref, *rest,
 
 
 def _fused_attention_bwd_impl(x, g, qkv_w, qkv_b, proj_w, qkv, num_heads,
-                              causal_attention, interpret: bool = False):
+                              causal_attention, interpret: bool = False,
+                              rope: bool = False):
     '''Runs the in-kernel backward; qkv=None recomputes qkv from x inside the kernel.
     Returns (dx, dqkv_w, dqkv_b, dproj_w, dproj_b).'''
     B, S, D, S_pad, pack, G, B_pad = _geometry(x, num_heads)
@@ -472,7 +504,7 @@ def _fused_attention_bwd_impl(x, g, qkv_w, qkv_b, proj_w, qkv, num_heads,
     vmem_limit = int(min(max(block_bytes * 1.5, 48 * 1024 * 1024), 124 * 1024 * 1024))
     kernel = functools.partial(_bwd_kernel, num_heads=num_heads,
                                causal_attention=causal_attention, seq_len=S, pack=pack,
-                               has_qkv=qkv is not None)
+                               has_qkv=qkv is not None, rope=rope)
     dqkv, attn = pl.pallas_call(
         kernel,
         out_shape=out_shape,

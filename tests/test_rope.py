@@ -1,0 +1,198 @@
+'''
+Rotary temporal encoding (temporal_rope — new capability over the reference):
+rotation math, XLA-vs-Pallas equivalence incl. all custom backwards, streaming
+equivalence, horizon extrapolation, and train-step integration.
+'''
+
+import functools
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+import conftest  # noqa: F401
+from tcow_tpu.ops import pallas_attention as pa
+from tcow_tpu.ops import rope as rope_lib
+
+
+def test_rope_relative_shift_invariance():
+    '''R_p q . R_s k must depend only on (s - p): shifting ALL positions by a constant
+    leaves every pairwise score unchanged — the property that lets streaming run past the
+    trained horizon without clamping.'''
+    rng = np.random.RandomState(0)
+    S, dh = 7, 16
+    q = jnp.asarray(rng.randn(S, dh), jnp.float32)
+    k = jnp.asarray(rng.randn(S, dh), jnp.float32)
+
+    def scores(offset):
+        cos, sin = rope_lib.rope_tables(jnp.arange(S) + offset, dh)
+        qr = rope_lib.apply_rope(q, cos, sin)
+        kr = rope_lib.apply_rope(k, cos, sin)
+        return np.asarray(qr @ kr.T)
+
+    np.testing.assert_allclose(scores(0), scores(137), rtol=1e-4, atol=1e-4)
+    # ... and a shift of only the keys DOES change scores (the rotation is not a no-op).
+    cos, sin = rope_lib.rope_tables(jnp.arange(S), dh)
+    cos2, sin2 = rope_lib.rope_tables(jnp.arange(S) + 3, dh)
+    qr = rope_lib.apply_rope(q, cos, sin)
+    kr2 = rope_lib.apply_rope(k, cos2, sin2)
+    assert np.abs(np.asarray(qr @ kr2.T) - scores(0)).max() > 1e-2
+
+
+def test_rope_inverse_roundtrip():
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(5, 32), jnp.float32)
+    cos, sin = rope_lib.rope_tables(jnp.arange(5) * 11.0, 32)
+    back = rope_lib.apply_rope(rope_lib.apply_rope(x, cos, sin), cos, sin, inverse=True)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize('ca', [0, 1])
+def test_fused_rope_matches_reference(ca):
+    from test_pallas_attention import make_inputs
+    x, qkv_w, qkv_b, proj_w, proj_b = make_inputs(S=13)
+    args = (x, qkv_w * 8.0, qkv_b, proj_w, proj_b)  # O(1) logits: rotation visibly matters
+    want = pa.attention_ref(*args, num_heads=4, causal_attention=ca, rope=True)
+    got = pa._fused_attention_fwd_impl(*args, 4, ca, interpret=True, rope=True)[0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5)
+    # rope must actually change the output vs the non-rope kernel.
+    plain = pa._fused_attention_fwd_impl(*args, 4, ca, interpret=True)[0]
+    assert np.abs(np.asarray(got) - np.asarray(plain)).max() > 1e-3, \
+        'rotation had no visible effect'
+
+
+def test_xla_model_attention_rope_matches_reference():
+    from tcow_tpu.models import timesformer as tsf
+    from test_pallas_attention import make_inputs
+    args = make_inputs(B=3, S=10, D=32)
+    p = {'qkv': {'w': args[1], 'b': args[2]}, 'proj': {'w': args[3], 'b': args[4]}}
+    want = pa.attention_ref(*args, num_heads=4, causal_attention=1, rope=True)
+    got = tsf.attention(p, args[0], 4, causal_attention=1, rope=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize('mode', ['res', 'kernel_qkv', 'kernel_x'])
+def test_rope_gradients_match_reference(mode):
+    '''All three custom backwards must invert the rotation correctly (dq = R^T dq_rot).
+    Padded shape (S=13 -> 16) exercises the padding rows too.'''
+    from test_pallas_attention import make_inputs
+    args = make_inputs(B=7, S=13, D=32, seed=3)
+
+    def loss_fused(*a):
+        return jnp.sum(pa.fused_attention(*a, 4, 1, mode, True) ** 2)
+
+    def loss_ref(*a):
+        return jnp.sum(pa.attention_ref(*a, 4, 1, rope=True) ** 2)
+
+    orig_f, orig_b = pa._fused_attention_fwd_impl, pa._fused_attention_bwd_impl
+    pa._fused_attention_fwd_impl = functools.partial(orig_f, interpret=True)
+    pa._fused_attention_bwd_impl = functools.partial(orig_b, interpret=True)
+    try:
+        g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(*args)
+    finally:
+        pa._fused_attention_fwd_impl = orig_f
+        pa._fused_attention_bwd_impl = orig_b
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(*args)
+    for a, b in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=3e-4, atol=3e-5)
+
+
+@pytest.fixture(scope='module')
+def rope_setup():
+    from tcow_tpu.models import mask_tracker as mt
+    from tcow_tpu.models import timesformer as tsf
+    old = dict(tsf.DEPTH_PRESETS)
+    tsf.DEPTH_PRESETS[3] = (48, 4)
+    cfg = mt.SeekerConfig(num_total_frames=6, frame_height=32, frame_width=48,
+                          causal_attention=1, drop_path_rate=0.0, network_depth=3,
+                          temporal_rope=True)
+    params = mt.init_params(jax.random.key(0), cfg)
+    params['backbone']['blocks']['temporal_fc']['w'] = jax.random.normal(
+        jax.random.key(7), params['backbone']['blocks']['temporal_fc']['w'].shape) * 0.05
+    # Boost the temporal attention weights so its logits are O(1): with the default
+    # 0.02-trunc-normal init the softmax is near-uniform and position rotations have
+    # ~1e-6 effect on outputs, which would make the behavioural assertions vacuous.
+    ta = params['backbone']['blocks']['temporal_attn']
+    ta['qkv']['w'] = ta['qkv']['w'] * 20.0
+    ta['proj']['w'] = ta['proj']['w'] * 4.0
+    yield cfg, params
+    tsf.DEPTH_PRESETS.clear()
+    tsf.DEPTH_PRESETS.update(old)
+
+
+def test_streaming_rope_matches_batch(rope_setup):
+    '''The KV-cached stream (rotated keys cached, query rotated by its absolute index)
+    reproduces the batch causal forward with temporal_rope on.'''
+    from tcow_tpu.models import mask_tracker as mt
+    from tcow_tpu.models import streaming
+    cfg, params = rope_setup
+    B, T, H, W = 2, 6, 32, 48
+    rng = np.random.RandomState(1)
+    rgb = jnp.asarray(rng.rand(B, 3, T, H, W), jnp.float32)
+    query = jnp.zeros((B, 1, T, H, W)).at[:, :, 1, 8:16, 8:24].set(1.0)
+
+    batch_mask, batch_flags = mt.forward(params, cfg, rgb, query)
+    state = streaming.init_stream(params, cfg, batch_size=B, max_frames=T)
+    step = jax.jit(lambda s, f, q: streaming.stream_step(params, cfg, s, f, q))
+    for t in range(T):
+        state, mask_t, flags_t = step(state, rgb[:, :, t], query[:, :, t])
+        np.testing.assert_allclose(np.asarray(mask_t), np.asarray(batch_mask[:, :, t]),
+                                   rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(flags_t), np.asarray(batch_flags[:, t]),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_streaming_rope_runs_past_horizon(rope_setup):
+    '''Windowed stream with rope runs far past num_frames with finite outputs, and the
+    temporal attention genuinely uses unclamped relative offsets: outputs at t >> horizon
+    differ between rope and clamp modes (the clamp collapses all late frames to one
+    time embedding index).'''
+    import dataclasses
+    from tcow_tpu.models import streaming
+    cfg, params = rope_setup
+    B, H, W, S = 1, 32, 48, 4
+    T_total = 15  # >> num_frames = 6
+    rng = np.random.RandomState(2)
+    rgb = rng.rand(B, 3, T_total, H, W).astype(np.float32)
+    qq = jnp.zeros((B, 1, H, W)).at[:, :, 4:12, 8:24].set(1.0)
+    q0 = jnp.zeros((B, 1, H, W))
+
+    def run(c):
+        step = jax.jit(lambda s, f, qm: streaming.stream_step(params, c, s, f, qm,
+                                                              window=S))
+        state = streaming.init_stream(params, c, B, window=S)
+        for t in range(T_total):
+            state, m, _ = step(state, jnp.asarray(rgb[:, :, t]), qq if t == 0 else q0)
+        return np.asarray(m)
+
+    m_rope = run(cfg)
+    assert np.isfinite(m_rope).all()
+    m_clamp = run(dataclasses.replace(cfg, temporal_rope=False))
+    assert np.abs(m_rope - m_clamp).max() > 1e-3
+
+
+def test_train_step_with_rope(rope_setup):
+    '''One optimizer step at a tiny config with temporal_rope: finite loss + grads.'''
+    from tcow_tpu.data.synthetic import synthetic_device_batch
+    from tcow_tpu.objectives.losses import LossConfig
+    from tcow_tpu.train import optim, step as step_lib
+    cfg, _ = rope_setup
+    import dataclasses
+    seeker = dataclasses.replace(cfg, drop_path_rate=0.1)
+    step_cfg = step_lib.StepConfig(seeker=seeker, loss=LossConfig(), num_queries=2)
+    tx = optim.make_optimizer('adamw', learn_rate=1e-4)
+    state = step_lib.init_train_state(jax.random.key(1), step_cfg, tx)
+    train_step = jax.jit(step_lib.make_train_step(step_cfg, tx))
+    batch = synthetic_device_batch(0, B=1, Q=2, T=6, H=32, W=48, M=6, K=3)
+    state, aux = train_step(state, {k: jnp.asarray(v) for k, v in batch.items()},
+                            jnp.float32(0.1))
+    assert np.isfinite(float(aux['total_seeker']))
+    assert np.isfinite(float(aux['grad_norm'])) and float(aux['grad_norm']) > 0
+
+
+def test_seeker_args_roundtrip_rope():
+    from tcow_tpu.models.mask_tracker import seeker_config_from_args
+    cfg = seeker_config_from_args({'temporal_rope': 1, 'network_depth': 12})
+    assert cfg.temporal_rope is True
+    assert seeker_config_from_args({'network_depth': 12}).temporal_rope is False
