@@ -50,23 +50,25 @@ def main():
 
     t0 = time.time()
     state, aux = train_step(state, batch, jnp.float32(0.1))
-    jax.block_until_ready(aux['total_seeker'])
     print(f'[bench] first step (compile) took {time.time() - t0:.1f}s, '
           f'loss={float(aux["total_seeker"]):.4f}', file=sys.stderr)
 
     # Warmup + timed steps: best of 3 windows (the remote-relay link adds occasional
     # multi-10ms hiccups that are not device time; the best window is the honest
     # steady-state throughput, and per-window times go to stderr for transparency).
+    # Synchronize by FETCHING a scalar: jax.block_until_ready does not synchronize over
+    # the axon relay (CLAUDE.md); a cross-check showed both give ~590 ms here, but the
+    # scalar fetch is the contract.
     for _ in range(2):
         state, aux = train_step(state, batch, jnp.float32(0.1))
-    jax.block_until_ready(aux['total_seeker'])
+    float(aux['total_seeker'])
     n_steps = 5
     windows = []
     for _ in range(3):
         t0 = time.time()
         for _ in range(n_steps):
             state, aux = train_step(state, batch, jnp.float32(0.1))
-        jax.block_until_ready(aux['total_seeker'])
+        float(aux['total_seeker'])
         windows.append((time.time() - t0) / n_steps)
     print(f'[bench] step-time windows: {[f"{w * 1e3:.1f}ms" for w in windows]}',
           file=sys.stderr)

@@ -58,12 +58,26 @@ class PrefetchLoader:
     worker_mode 'thread' shares the parent's GIL (fine when item decode is cv2/numpy-bound
     on few cores); 'process' forks a worker pool per epoch (Linux only) so item loading
     scales with cores. Collation always happens in the parent (its RNG is a sequential
-    stream), so batches are identical across modes.'''
+    stream), so batches are identical across modes.
+
+    fork caveat: in a trainer the fork happens after the JAX backend is initialized and
+    multithreaded, which carries the standard fork-after-threads hazard (a child can
+    inherit a mutex held mid-operation). Workers never touch JAX and exit via os._exit
+    (multiprocessing children skip atexit), the same risk profile as torch DataLoader
+    fork workers; if a deployment hits it, fall back to worker_mode=thread.
+
+    shard_rank/shard_count (multi-host): each process loads ONLY its batch_size /
+    shard_count rows of every global batch (rows [rank*B_local, (rank+1)*B_local) in the
+    shared same-seed global order) — mesh.shard_batch assembles the global array from the
+    local rows, so host decode work scales down with the number of hosts.'''
 
     def __init__(self, dataset, batch_size: int, collate_fn: Callable, shuffle: bool,
                  drop_last: bool, num_workers: int = 2, prefetch_depth: int = 2,
-                 seed: int = 0, worker_mode: str = 'thread'):
+                 seed: int = 0, worker_mode: str = 'thread',
+                 shard_rank: int = 0, shard_count: int = 1):
         assert worker_mode in ('thread', 'process'), worker_mode
+        assert 0 <= shard_rank < shard_count, (shard_rank, shard_count)
+        assert batch_size % shard_count == 0, (batch_size, shard_count)
         self.dataset = dataset
         self.batch_size = batch_size
         self.collate_fn = collate_fn
@@ -73,6 +87,8 @@ class PrefetchLoader:
         self.prefetch_depth = prefetch_depth
         self.seed = seed
         self.worker_mode = worker_mode
+        self.shard_rank = shard_rank
+        self.shard_count = shard_count
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -92,6 +108,10 @@ class PrefetchLoader:
         n_batches = len(self)
         batches = [order[i * self.batch_size:(i + 1) * self.batch_size]
                    for i in range(n_batches)]
+        if self.shard_count > 1:
+            b_local = self.batch_size // self.shard_count
+            lo = self.shard_rank * b_local
+            batches = [b[lo:lo + b_local] for b in batches]
 
         q: 'queue.Queue' = queue.Queue(maxsize=self.prefetch_depth)
         stop = threading.Event()
@@ -113,6 +133,18 @@ class PrefetchLoader:
             return (concurrent.futures.ThreadPoolExecutor(self.num_workers),
                     self.dataset.__getitem__)
 
+        def safe_put(payload) -> bool:
+            # Never block forever on a full queue: an abandoned iteration (consumer broke
+            # out early) would otherwise leave the producer — and in process mode its
+            # forked worker pool — alive indefinitely.
+            while not stop.is_set():
+                try:
+                    q.put(payload, timeout=0.5)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             pool, getitem = make_pool()
             with pool:
@@ -121,11 +153,12 @@ class PrefetchLoader:
                         return
                     try:
                         items = list(pool.map(getitem, batch_inds))
-                        q.put(('ok', self.collate_fn(items)))
+                        if not safe_put(('ok', self.collate_fn(items))):
+                            return
                     except Exception as e:
-                        q.put(('err', e))
+                        safe_put(('err', e))
                         return
-            q.put(('done', None))
+            safe_put(('done', None))
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -166,8 +199,10 @@ def _kubric_dset_args(args) -> Dict[str, Any]:
         palindrome_prob=args.kubric_palindrome_prob)
 
 
-def create_train_val_data_loaders(args, logger):
-    '''return (train_loader, val_aug_loader, val_noaug_loader, dset_args_sources).'''
+def create_train_val_data_loaders(args, logger, shard=(0, 1)):
+    '''return (train_loader, val_aug_loader, val_noaug_loader, dset_args_sources).
+    shard=(process_index, process_count) makes each multi-host process load only its
+    rows of every global batch.'''
     dset_args_sources = {}
     loaders = {}
     for cur_data_path in args.data_path:
@@ -184,17 +219,22 @@ def create_train_val_data_loaders(args, logger):
             ds = kubric_lib.KubricQueryDataset(cur_data_path, logger, phase,
                                                seed=args.seed, **dset_args)
             collate = _make_kubric_collate(args.num_queries, phase, args.seed)
+            mode = getattr(args, 'worker_mode', 'thread')
+            # Threads stop paying off past the GIL; forked workers scale with cores.
+            cap = 8 if mode == 'thread' else 32
             loaders[phase] = PrefetchLoader(ds, args.batch_size, collate, shuffle=True,
                                             drop_last=True,
-                                            num_workers=min(args.num_workers, 8),
-                                            seed=args.seed,
-                                            worker_mode=getattr(args, 'worker_mode',
-                                                                'thread'))
+                                            num_workers=min(args.num_workers, cap),
+                                            seed=args.seed, worker_mode=mode,
+                                            shard_rank=shard[0], shard_count=shard[1])
     return loaders['train'], loaders['val_aug'], loaders['val_noaug'], dset_args_sources
 
 
 def _make_kubric_collate(num_queries: int, phase: str, seed: int):
-    rng = np.random.default_rng(seed * 31 + hash(phase) % 1000)
+    # zlib.crc32, not hash(): Python string hashes are randomized per process, which would
+    # make query selection irreproducible across runs (and across multi-host processes).
+    import zlib
+    rng = np.random.default_rng(seed * 31 + zlib.crc32(phase.encode()) % 1000)
 
     def collate(items: List[Dict]) -> Dict[str, Any]:
         batch = kubric_lib.collate_kubric(items, num_queries, phase, rng=rng)

@@ -60,6 +60,9 @@ class SeekerConfig:
         return 3 + self.query_channels
 
     def backbone_config(self) -> tsf.TimeSformerConfig:
+        if self.temporal_rope and self.attention_type != 'divided_space_time':
+            raise ValueError('temporal_rope requires attention_type=divided_space_time '
+                             '(joint attention has no separate temporal axis to rotate)')
         embed_dim, num_heads = tsf.DEPTH_PRESETS[self.network_depth]
         return tsf.TimeSformerConfig(
             frame_height=self.frame_height, frame_width=self.frame_width,

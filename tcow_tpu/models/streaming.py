@@ -154,8 +154,8 @@ def stream_step(params: Dict[str, Any], cfg: mt.SeekerConfig, state: StreamState
         slot = t
         valid = jnp.arange(Tmax) <= t
     else:
-        # Windowed mode: pinned prefix + ring of recent frames; time embeddings clamp to
-        # the last trained index for frames beyond the training horizon.
+        # Windowed mode: pinned prefix + ring of recent frames; without rope, the time
+        # embedding clamps to the last trained index beyond the training horizon.
         P = pinned_frames
         R = window - P
         assert Tmax == window, (Tmax, window)
@@ -164,7 +164,10 @@ def stream_step(params: Dict[str, Any], cfg: mt.SeekerConfig, state: StreamState
         slot = jnp.where(t < P, t, P + (t - P) % R)
         n_ring = jnp.clip(t + 1 - P, 0, R)
         valid = jnp.concatenate([jnp.arange(P) <= t, jnp.arange(R) < n_ring])
-    x = x + time[time_idx][None, None, :]
+    if not bb.temporal_rope:
+        # With rope, the rotation IS the time signal (matching tsf.forward, which skips
+        # the absolute embedding): no clamped embedding leaks into token content.
+        x = x + time[time_idx][None, None, :]
 
     cls0 = (bparams['cls_token'].astype(x.dtype) + pos[0])[None, :].repeat(B, axis=0)
 

@@ -415,8 +415,13 @@ def forward(params: Dict[str, Any], cfg: TimeSformerConfig, pixels: jnp.ndarray,
                            src_grid=(cfg.grid_h, cfg.grid_w)).astype(x.dtype)
     x = x + pos[None, None, 1:, :]
     cls = (params['cls_token'].astype(x.dtype) + pos[0])[None, :].repeat(B, axis=0)  # (B, D)
-    time = nearest_resize_1d(params['time_embed'], T, axis=0).astype(x.dtype)
-    x = x + time[None, :, None, :]
+    if not cfg.temporal_rope:
+        time = nearest_resize_1d(params['time_embed'], T, axis=0).astype(x.dtype)
+        x = x + time[None, :, None, :]
+    # temporal_rope REPLACES the absolute time embedding (the rotation in temporal
+    # attention is the only time signal): mixing in the clamped absolute embedding would
+    # reintroduce the very horizon clamp the feature removes. time_embed stays in the
+    # param tree (checkpoint-shape compatible) but receives zero gradient.
 
     if extra_token_in is not None:
         cls = extra_token_in.astype(x.dtype)

@@ -132,10 +132,13 @@ def main(args, logger):
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
     logger.info(f'Seeker parameter count: {int(np.round(n_params / 1e6))}M')
 
-    # Data.
+    # Data. Multi-host: every process computes the same same-seed global batch order but
+    # loads/decodes ONLY its own rows (mesh.shard_batch assembles the global array from
+    # process-local rows), so host data work scales down with the number of hosts.
     start_time = time.time()
+    shard = (jax.process_index(), jax.process_count())
     train_loader, val_aug_loader, val_noaug_loader, dset_args = \
-        factory.create_train_val_data_loaders(args, logger)
+        factory.create_train_val_data_loaders(args, logger, shard=shard)
     logger.info(f'Data loaders ready ({time.time() - start_time:.3f}s)')
     steps_per_epoch = len(train_loader)
 
@@ -313,10 +316,21 @@ def _render_train_overlays(logger, args, phase, epoch, cur_step, total_step,
                            progress):
     '''Runs the compact visualization forward on the current batch and hands the result to
     MyLogger.handle_train_step (reference train.py:74). Outputs arrive as float16 slices
-    (example 0, first 2 queries) to keep the host fetch small.'''
+    (example 0, first 2 queries) to keep the host fetch small.
+
+    Multi-host: only process 0 renders (one writer), and it fetches its FIRST ADDRESSABLE
+    shard of each batch-sharded output — device_get on the global array would raise
+    (non-addressable devices), and the renderer only uses example 0 anyway.'''
     import jax
     import jax.numpy as jnp
-    vis = jax.device_get(vis_step(state.params, device_batch, jnp.float32(progress)))
+    if jax.process_index() != 0:
+        return
+    out = vis_step(state.params, device_batch, jnp.float32(progress))
+    if jax.process_count() > 1:
+        out = jax.tree.map(
+            lambda a: a.addressable_data(0) if isinstance(a, jax.Array)
+            and not a.is_fully_addressable else a, out)
+    vis = jax.device_get(out)
     dev = batch['device']
     rgb = dev['rgb'][0:1] if 'rgb' in dev \
         else dev['rgb_u8'][0:1].astype(np.float32) / 255.0

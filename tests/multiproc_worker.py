@@ -44,14 +44,17 @@ def main():
     state = step_lib.init_train_state(jax.random.key(0), cfg, tx)  # same seed everywhere
     train_step = jax.jit(step_lib.make_train_step(cfg, tx), donate_argnums=(0,))
 
-    # Every process loads the same GLOBAL batch (same seed); shard_batch slices out this
-    # process's addressable rows.
+    # Each process passes only its PROCESS-LOCAL rows (the production multi-host loading
+    # path: PrefetchLoader shard_rank/shard_count slices the same-seed global order);
+    # shard_batch assembles the global array from the local rows.
     batch_np = synthetic_device_batch(0, B=2 * nproc, Q=2, T=4, H=32, W=48, M=6, K=3)
+    local = {k: (v[2 * pid:2 * (pid + 1)] if getattr(v, 'ndim', 0) > 0 else v)
+             for k, v in batch_np.items()}
     mesh = mesh_lib.make_mesh()  # all processes' devices
     assert len(mesh.devices.flatten()) == 2 * nproc
     with jax.set_mesh(mesh):
         state = mesh_lib.replicate_tree(state, mesh)
-        batch = mesh_lib.shard_batch(batch_np, mesh)
+        batch = mesh_lib.shard_batch(local, mesh)
         state, aux = train_step(state, batch, jnp.float32(0.1))
         loss = float(aux['total_seeker'])
     print(f'LOSS {loss:.8f}', flush=True)

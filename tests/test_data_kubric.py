@@ -229,3 +229,25 @@ def test_prefetch_loader_process_mode_matches_thread_mode(synth_dataset):
                 np.testing.assert_array_equal(np.asarray(bt['device'][k]),
                                               np.asarray(bp['device'][k]), err_msg=k)
             assert bt['meta']['scene_dn'] == bp['meta']['scene_dn']
+
+
+def test_prefetch_loader_sharding_partitions_the_global_batch(synth_dataset):
+    '''Multi-host loading: two shard loaders must together fetch exactly the rows of the
+    unsharded loader's batches, in order (each process decodes only its own rows).'''
+    from tcow_tpu.data import factory
+
+    def make_loader(rank, count):
+        ds = KubricQueryDataset(synth_dataset, None, 'train', num_frames=8,
+                                frame_height=32, frame_width=48, max_delay=2,
+                                num_queries=2, max_objects=6, augs_2d=True, seed=5)
+        collate = factory._make_kubric_collate(2, 'train', seed=7)
+        return factory.PrefetchLoader(ds, batch_size=2, collate_fn=collate, shuffle=True,
+                                      drop_last=True, num_workers=1, seed=7,
+                                      shard_rank=rank, shard_count=count)
+
+    full = [b['meta']['dset_idx'] for b in make_loader(0, 1)]
+    s0 = [b['meta']['dset_idx'] for b in make_loader(0, 2)]
+    s1 = [b['meta']['dset_idx'] for b in make_loader(1, 2)]
+    assert len(full) == len(s0) == len(s1)
+    for f, a, b in zip(full, s0, s1):
+        np.testing.assert_array_equal(np.concatenate([a, b]), f)
