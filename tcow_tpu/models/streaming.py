@@ -73,7 +73,7 @@ def init_stream(params: Dict[str, Any], cfg: mt.SeekerConfig, batch_size: int,
         t=jnp.int32(0))
 
 
-def _qkv_heads(p, x, nh):
+def _qkv_heads(p, x):
     '''(..., D) -> q, k, v each (..., D) pre-head-split.'''
     qkv = tsf._dense(x, p['qkv'])
     D = x.shape[-1]
@@ -102,11 +102,6 @@ def _attend_cached(q, k_all, v_all, nh, valid):
     probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)          # (B, N, nh, S)
     out = jnp.einsum('bnht,bnhtd->bnhd', probs, v_all)
     return out.reshape(B, N, D)
-
-
-def _spatial_attend(p, seq, nh):
-    '''Full attention over a per-frame sequence (B, S, D).'''
-    return tsf.attention(p, seq, nh)
 
 
 def stream_step(params: Dict[str, Any], cfg: mt.SeekerConfig, state: StreamState,
@@ -186,7 +181,7 @@ def stream_step(params: Dict[str, Any], cfg: mt.SeekerConfig, state: StreamState
 
         # Temporal attention with KV cache (head-major layout: slot axis = 3 of 4).
         y = tsf.layer_norm(xs, pb['temporal_norm1'], bb.ln_eps)
-        q, k, v = _qkv_heads(pb['temporal_attn'], y, nh)
+        q, k, v = _qkv_heads(pb['temporal_attn'], y)
         Bq, Nq, Dq = k.shape
         dh = Dq // nh
         k5 = k.reshape(Bq, Nq, nh, dh)
