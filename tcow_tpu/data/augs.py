@@ -232,7 +232,15 @@ class AugmentationPipeline:
 
             if 'rgb' in modality:
                 if params['color_jitter']:
-                    if self.defer_color_jitter:
+                    # Deferring moves the jitter AFTER blur/grayscale (it runs on device
+                    # post-resize), which would silence hue/saturation on grayscale items
+                    # and reorder it against blur — so items that also drew blur or
+                    # grayscale jitter on the HOST in the reference order instead.
+                    # sample_jitter_factors consumes exactly the draws color_jitter
+                    # would, so the RNG stream is identical either way.
+                    defer = (self.defer_color_jitter
+                             and not params['rgb_blur'] and not params['rgb_grayscale'])
+                    if defer:
                         params['jitter_factors'] = sample_jitter_factors(rng)
                     else:
                         x = color_jitter(x, rng)

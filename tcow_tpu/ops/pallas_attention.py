@@ -178,6 +178,8 @@ def _weight_in_specs(G, S_pad, D):
 
 
 def _fwd_vmem_limit(x, G, S_pad, pack, D):
+    '''Scoped-VMEM budget for the forward kernel (both residual modes): long sequences
+    need more than the 16M default for the f32 qkv/score intermediates.'''
     itemsize = np.dtype(x.dtype).itemsize
     SP = S_pad * pack
     block_bytes = (G * S_pad * (4 + 9 * itemsize) * D
@@ -238,25 +240,13 @@ def _fused_attention_fwd_impl(x, qkv_w, qkv_b, proj_w, proj_b, num_heads,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((G, S_pad, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ]
-    # Long sequences need more scoped VMEM than the 16M default (f32 qkv/score
-    # intermediates); budget from the actual block sizes.
-    itemsize = np.dtype(x.dtype).itemsize
-    block_bytes = (G * S_pad * (4 + 9 * itemsize) * D            # x f32 + qkv fp32->bf16
-                   + (G // pack) * SP * SP * (8 + 2 * itemsize)  # scores f32 + probs
-                   + 4 * D * D * itemsize)                       # resident weights
-    vmem_limit = int(min(max(block_bytes * 1.5, 32 * 1024 * 1024), 120 * 1024 * 1024))
     results = pl.pallas_call(
         kernel,
         out_shape=tuple(out_shape),
         grid=(B_pad // G,),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
-        in_specs=[
-            pl.BlockSpec((G, S_pad, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((D, 3 * D), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3 * D,), lambda i: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((D, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((D,), lambda i: (0,), memory_space=pltpu.VMEM),
-        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_fwd_vmem_limit(x, G, S_pad, pack, D)),
+        in_specs=_weight_in_specs(G, S_pad, D),
         out_specs=tuple(out_specs),
         interpret=interpret,
     )(xp, qkv_w, qkv_b, proj_w, proj_b)
@@ -375,9 +365,10 @@ fused_attention.defvjp(_fwd, _bwd)
 
 
 # ---------------------------------------------------------------------------
-# Fully in-kernel backward: recompute probs/attn in VMEM (optionally qkv too), emit all
-# five gradients from one kernel. Weight gradients accumulate in VMEM across the
-# (sequential) grid; no probs/attn residual ever touches HBM.
+# Fully in-kernel backward: recompute probs/attn in VMEM (optionally qkv too) and emit
+# dqkv + attn; no probs/attn residual ever touches HBM. Weight/bias/input gradients are
+# ordinary XLA dots on those outputs — deliberately kept OUT of the kernel (fusing f32
+# weight accumulators into the scan body hit scoped-vmem OOM, see NEXT.md).
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(x_ref, g_ref, qkv_w_ref, qkv_b_ref, proj_w_ref, *rest,

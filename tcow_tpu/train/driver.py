@@ -318,24 +318,26 @@ def _render_train_overlays(logger, args, phase, epoch, cur_step, total_step,
     MyLogger.handle_train_step (reference train.py:74). Outputs arrive as float16 slices
     (example 0, first 2 queries) to keep the host fetch small.
 
-    Multi-host: only process 0 renders (one writer), and it fetches its FIRST ADDRESSABLE
-    shard of each batch-sharded output — device_get on the global array would raise
-    (non-addressable devices), and the renderer only uses example 0 anyway.'''
+    Multi-host: EVERY process executes the jitted vis computation (SPMD programs over
+    global arrays need all participants), but only process 0 fetches and renders (one
+    writer), reading its FIRST ADDRESSABLE shard of each output — device_get on the
+    global array would raise (non-addressable devices), and the renderer only uses
+    example 0 anyway.'''
     import jax
     import jax.numpy as jnp
+    out = vis_step(state.params, device_batch, jnp.float32(progress))
     if jax.process_index() != 0:
         return
-    out = vis_step(state.params, device_batch, jnp.float32(progress))
     if jax.process_count() > 1:
         out = jax.tree.map(
             lambda a: a.addressable_data(0) if isinstance(a, jax.Array)
             and not a.is_fully_addressable else a, out)
     vis = jax.device_get(out)
-    dev = batch['device']
-    rgb = dev['rgb'][0:1] if 'rgb' in dev \
-        else dev['rgb_u8'][0:1].astype(np.float32) / 255.0
+    # seeker_rgb is the UNPACKED, device-augmented input from the jitted step — with
+    # --device_augs the host-side rgb is pre-jitter and would misrepresent what the
+    # model saw (the overlays exist to surface augmentation problems).
     model_retval = {
-        'seeker_input': rgb,
+        'seeker_input': np.asarray(vis['seeker_rgb'], np.float32),
         'output_mask': vis['output_mask'],
         'target_mask': vis['target_mask'],
         'seeker_query_mask': vis['seeker_query_mask'],

@@ -192,18 +192,28 @@ def make_vis_step(cfg: StepConfig, max_queries: int = 2):
     '''Compact payload for train-time overlay rendering (the reference renders overlays
     from the training forward's outputs every step_interval steps, train.py:74 ->
     logvis.py:176-308). The jitted train step never materializes per-pixel outputs on
-    host, so visualization runs this separate eval forward at interval steps; outputs are
-    sliced to example 0 / the first max_queries queries and cast to float16 on device to
-    keep the host fetch small.'''
+    host, so visualization runs this separate eval forward at interval steps.
+
+    The batch is sliced to EXAMPLE 0 on device before the forward (only example 0 is ever
+    rendered; running the full B*Q eval forward just to discard it would cost ~B x more),
+    so the loss/metric scalars in the payload are example-0 values — per-batch scalars
+    come from the train step itself. The payload carries the UNPACKED, device-augmented
+    rgb ('seeker_rgb'): with --device_augs the host-side rgb is pre-jitter, and overlays
+    must show the frames the model actually saw. Everything per-pixel arrives as float16
+    slices (first max_queries queries) to keep the host fetch small.'''
     eval_step = make_eval_step(cfg, return_outputs=True)
 
     def vis_step(params, batch, progress):
+        batch = {k: (v[0:1] if getattr(v, 'ndim', 0) > 0 else v)
+                 for k, v in batch.items()}
+        rgb = unpack_batch(batch)['rgb']
         out = eval_step(params, batch, progress)
         f16 = lambda x: None if x is None else x[0:1, :max_queries].astype(jnp.float16)
         return {
             'track': out['track'], 'occl_mask': out['occl_mask'],
             'cont_mask': out['cont_mask'], 'total_seeker': out['total_seeker'],
             'metric_sums': out['metric_sums'],
+            'seeker_rgb': rgb[0:1].astype(jnp.float16),
             'output_mask': f16(out['output_mask']),
             'target_mask': f16(out['target_mask']),
             'seeker_query_mask': f16(out['seeker_query_mask']),

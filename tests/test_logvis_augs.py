@@ -144,37 +144,61 @@ def test_device_color_jitter_matches_host():
     np.testing.assert_array_equal(np.asarray(dev0[0]), frames)
 
 
-def test_deferred_jitter_keeps_rng_stream_aligned(monkeypatch):
-    '''With defer_color_jitter, every draw AFTER the jitter point (blur sigma, etc.) must
-    come from the same RNG stream position as the host-jitter path: sample_jitter_factors
-    consumes exactly the draws color_jitter would have.'''
+def test_deferred_jitter_keeps_rng_stream_aligned():
+    '''With defer_color_jitter, every draw AFTER the jitter point must come from the same
+    RNG stream position as the host-jitter path (sample_jitter_factors consumes exactly
+    the draws color_jitter would have) — checked via a recorded post-jitter draw.'''
     rng_img = np.random.default_rng(7)
     rgb = rng_img.random((3, 10, 24, 32)).astype(np.float32)
     segm = (rng_img.random((1, 10, 24, 32)) * 4).astype(np.uint8)
 
-    sigmas = {}
-    orig_blur = augs_lib.gaussian_blur
-
+    post_draws = {}
     outs = {}
     for defer in (False, True):
-        def rec_blur(frames, rng, **kw):  # records the sigma this path draws
-            sigmas[defer] = float(rng.uniform(0.1, 3.5))
-            return frames
-        monkeypatch.setattr(augs_lib, 'gaussian_blur', rec_blur)
         pipe = make_pipeline(defer_color_jitter=defer)
         params = pipe.sample_augs_params(np.random.default_rng(11))
         params['color_jitter'] = True
-        params['rgb_blur'] = True  # draws sigma AFTER the jitter draws
+        params['rgb_blur'] = params['rgb_grayscale'] = False  # the pure-defer case
         out = pipe.apply_augs_2d_frames({'rgb': rgb.copy(), 'segm': segm.copy()}, params)
+        # Probe the stream position by drawing once from the params RNG state afterwards.
+        r = np.random.default_rng()
+        r.bit_generator.state = params['_rng_state']
+        if params.get('jitter_factors') is None:
+            augs_lib.color_jitter(rgb.transpose(1, 0, 2, 3), r)
+        else:
+            augs_lib.sample_jitter_factors(r)
+        post_draws[defer] = float(r.random())
         outs[defer] = (out, params)
-    monkeypatch.setattr(augs_lib, 'gaussian_blur', orig_blur)
 
-    assert sigmas[False] == sigmas[True]  # the RNG stream position is unchanged
+    assert post_draws[False] == post_draws[True]  # same stream position after jitter
     np.testing.assert_array_equal(outs[False][0]['segm'], outs[True][0]['segm'])
     jf = outs[True][1]['jitter_factors']
     assert set(jf) == {'fb', 'fc', 'fs', 'fh', 'order'}
-    # Host path applied the jitter; deferred path must leave rgb un-jittered.
+    # Host path applied the jitter; the pure-defer path leaves rgb un-jittered.
     assert not np.allclose(outs[False][0]['rgb'], outs[True][0]['rgb'])
+
+
+def test_deferred_jitter_falls_back_to_host_order_for_blur_grayscale():
+    '''Items that also draw blur or grayscale must jitter on the HOST in the reference
+    order (jitter -> blur -> gray): deferring would reorder the ops (device jitter runs
+    post-resize) and make hue/saturation a no-op on grayscale frames. Outputs of the
+    deferred pipeline must therefore be IDENTICAL to the host pipeline for such items,
+    with no jitter_factors emitted.'''
+    rng_img = np.random.default_rng(8)
+    rgb = rng_img.random((3, 10, 24, 32)).astype(np.float32)
+
+    for extra in ('rgb_blur', 'rgb_grayscale'):
+        outs = {}
+        for defer in (False, True):
+            pipe = make_pipeline(defer_color_jitter=defer)
+            params = pipe.sample_augs_params(np.random.default_rng(13))
+            params['color_jitter'] = True
+            params['rgb_blur'] = params['rgb_grayscale'] = False
+            params[extra] = True
+            out = pipe.apply_augs_2d_frames({'rgb': rgb.copy()}, params)
+            assert params.get('jitter_factors') is None, (extra, defer)
+            outs[defer] = out['rgb']
+        np.testing.assert_array_equal(outs[True], outs[False], err_msg=extra)
 
 
 def test_center_crop_aspect():
