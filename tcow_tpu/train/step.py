@@ -206,7 +206,10 @@ def make_vis_step(cfg: StepConfig, max_queries: int = 2):
     def vis_step(params, batch, progress):
         batch = {k: (v[0:1] if getattr(v, 'ndim', 0) > 0 else v)
                  for k, v in batch.items()}
-        rgb = unpack_batch(batch)['rgb']
+        # Unpack once: the result is a valid eval_step input (no packed/jitter keys left),
+        # so the decode + device-jitter work is not traced twice.
+        batch = unpack_batch(batch)
+        rgb = batch['rgb']
         out = eval_step(params, batch, progress)
         f16 = lambda x: None if x is None else x[0:1, :max_queries].astype(jnp.float16)
         return {

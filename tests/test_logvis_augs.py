@@ -144,33 +144,43 @@ def test_device_color_jitter_matches_host():
     np.testing.assert_array_equal(np.asarray(dev0[0]), frames)
 
 
-def test_deferred_jitter_keeps_rng_stream_aligned():
-    '''With defer_color_jitter, every draw AFTER the jitter point must come from the same
-    RNG stream position as the host-jitter path (sample_jitter_factors consumes exactly
-    the draws color_jitter would have) — checked via a recorded post-jitter draw.'''
+def test_deferred_jitter_keeps_rng_stream_aligned(monkeypatch):
+    '''With defer_color_jitter, the PIPELINE's RNG must sit at the same stream position
+    after the jitter point as the host-jitter path (sample_jitter_factors consumes
+    exactly the draws color_jitter would have) — observed by recording the bit-generator
+    state of the rng the pipeline actually passes in, right after each call returns.'''
     rng_img = np.random.default_rng(7)
     rgb = rng_img.random((3, 10, 24, 32)).astype(np.float32)
     segm = (rng_img.random((1, 10, 24, 32)) * 4).astype(np.uint8)
 
-    post_draws = {}
+    post_states = {}
     outs = {}
+    orig_sample = augs_lib.sample_jitter_factors
+    orig_jitter = augs_lib.color_jitter
     for defer in (False, True):
+        def rec_sample(rng, *a, **k):
+            out = orig_sample(rng, *a, **k)
+            post_states[defer] = rng.bit_generator.state
+            return out
+
+        def rec_jitter(frames, rng, *a, **k):
+            out = orig_jitter(frames, rng, *a, **k)
+            post_states[defer] = rng.bit_generator.state
+            return out
+
+        monkeypatch.setattr(augs_lib, 'sample_jitter_factors', rec_sample)
+        monkeypatch.setattr(augs_lib, 'color_jitter', rec_jitter)
         pipe = make_pipeline(defer_color_jitter=defer)
         params = pipe.sample_augs_params(np.random.default_rng(11))
         params['color_jitter'] = True
         params['rgb_blur'] = params['rgb_grayscale'] = False  # the pure-defer case
         out = pipe.apply_augs_2d_frames({'rgb': rgb.copy(), 'segm': segm.copy()}, params)
-        # Probe the stream position by drawing once from the params RNG state afterwards.
-        r = np.random.default_rng()
-        r.bit_generator.state = params['_rng_state']
-        if params.get('jitter_factors') is None:
-            augs_lib.color_jitter(rgb.transpose(1, 0, 2, 3), r)
-        else:
-            augs_lib.sample_jitter_factors(r)
-        post_draws[defer] = float(r.random())
         outs[defer] = (out, params)
+    monkeypatch.setattr(augs_lib, 'sample_jitter_factors', orig_sample)
+    monkeypatch.setattr(augs_lib, 'color_jitter', orig_jitter)
 
-    assert post_draws[False] == post_draws[True]  # same stream position after jitter
+    # Same in-pipeline stream position after the jitter point in both modes.
+    assert post_states[False] == post_states[True]
     np.testing.assert_array_equal(outs[False][0]['segm'], outs[True][0]['segm'])
     jf = outs[True][1]['jitter_factors']
     assert set(jf) == {'fb', 'fc', 'fs', 'fh', 'order'}
