@@ -26,6 +26,7 @@ def main():
     p.add_argument('--width', type=int, default=320)
     p.add_argument('--depth', type=int, default=12)
     p.add_argument('--repeats', type=int, default=3)
+    p.add_argument('--rope', type=int, default=0, help='temporal_rope on the bench model')
     p.add_argument('--device', default='')
     a = p.parse_args()
     if a.device == 'cpu':
@@ -41,7 +42,8 @@ def main():
 
     cfg = mt.SeekerConfig(frame_height=a.height, frame_width=a.width,
                           causal_attention=1, drop_path_rate=0.0,
-                          network_depth=a.depth, compute_dtype=jnp.bfloat16)
+                          network_depth=a.depth, compute_dtype=jnp.bfloat16,
+                          temporal_rope=bool(a.rope))
     params = jax.device_put(mt.init_params(jax.random.key(0), cfg))
     B, H, W, T = 1, a.height, a.width, a.frames
     rng = np.random.RandomState(0)
