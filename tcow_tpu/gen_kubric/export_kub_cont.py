@@ -33,6 +33,7 @@ def get_args(argv=None):
     p.add_argument('--frame_rate', default=12, type=int)
     p.add_argument('--render_samples_per_pixel', default=32, type=int)
     p.add_argument('--max_scene_count', default=100, type=int)
+    p.add_argument('--sim_backend', default='kubric', choices=('kubric', 'stub'))
     return p.parse_args(argv)
 
 
@@ -90,6 +91,8 @@ def worker(a, worker_idx, total_scn_cnt):
 
 def main(argv=None):
     a = get_args(argv)
+    from tcow_tpu.gen_kubric.export_kub_rand import activate_sim_backend
+    activate_sim_backend(a.sim_backend)
     os.makedirs(a.root_dp, exist_ok=True)
     total = mp.Value('i', 0)
     if a.num_workers <= 0:

@@ -43,7 +43,22 @@ def get_args(argv=None):
     p.add_argument('--max_scene_count', default=100, type=int,
                    help='Per-run scene budget; restart the script to empty /tmp between '
                         'runs (export_kub_rand.py:57-59).')
+    p.add_argument('--sim_backend', default='kubric', choices=('kubric', 'stub'),
+                   help="'kubric' needs the real kubric+Blender stack; 'stub' uses the "
+                        'pure-numpy emulation in stub_backend/ (format/control-flow '
+                        'validation without Blender).')
     return p.parse_args(argv)
+
+
+def activate_sim_backend(backend: str):
+    '''For --sim_backend stub, prepend stub_backend/ to sys.path so `import kubric`/
+    `pybullet`/`bpy` resolve to the emulation (workers inherit via fork).'''
+    if backend == 'stub':
+        import sys
+        stub_dp = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               'stub_backend')
+        if stub_dp not in sys.path:
+            sys.path.insert(0, stub_dp)
 
 
 def do_scene(a, scene_idx, scene_dp, scene_dn, logger):
@@ -138,6 +153,7 @@ def worker(a, worker_idx, total_scn_cnt):
 
 def main(argv=None):
     a = get_args(argv)
+    activate_sim_backend(a.sim_backend)
     os.makedirs(a.root_dp, exist_ok=True)
     total = mp.Value('i', 0)
     if a.num_workers <= 0:
