@@ -10,7 +10,16 @@ import sys
 os.environ['JAX_PLATFORMS'] = 'cpu'
 _flags = os.environ.get('XLA_FLAGS', '')
 if 'xla_force_host_platform_device_count' not in _flags:
-    os.environ['XLA_FLAGS'] = (_flags + ' --xla_force_host_platform_device_count=8').strip()
+    _flags = (_flags + ' --xla_force_host_platform_device_count=8').strip()
+# The XLA:CPU in-process communicator aborts the whole process when a collective
+# rendezvous takes >40 s to assemble (hardcoded default). On a 1-core host, 8 virtual
+# device threads timeshare one core, so a heavily-sharded step (seq=4 halo exchanges)
+# can legitimately take minutes to line all 8 threads up at a collective-permute.
+# Raise the warn/terminate thresholds so slow scheduling is not treated as deadlock.
+if 'collective_call_terminate' not in _flags:
+    _flags += (' --xla_cpu_collective_call_warn_stuck_timeout_seconds=120'
+               ' --xla_cpu_collective_call_terminate_timeout_seconds=1200')
+os.environ['XLA_FLAGS'] = _flags
 
 import jax  # noqa: E402
 
