@@ -38,6 +38,10 @@ def get_args(argv=None):
 
 
 def do_scene(a, scene_idx, scene_dp, scene_dn, scene_type, logger):
+    # Re-activate here: mp.Process children only inherit sys.path under fork (see
+    # export_kub_rand.do_scene).
+    from tcow_tpu.gen_kubric.export_kub_rand import activate_sim_backend
+    activate_sim_backend(a.sim_backend)
     from tcow_tpu.gen_kubric.kubric_sim import KubricSimulatorRenderer
     from tcow_tpu.gen_kubric import scene_types as st
     import kubric as kb

@@ -63,6 +63,9 @@ def activate_sim_backend(backend: str):
 
 def do_scene(a, scene_idx, scene_dp, scene_dn, logger):
     '''One full scene in a fresh process (bpy must be imported in the owning process).'''
+    # Re-activate here: mp.Process children only inherit the parent's sys.path under the
+    # fork start method; spawn/forkserver children start clean.
+    activate_sim_backend(a.sim_backend)
     from tcow_tpu.gen_kubric.kubric_sim import KubricSimulatorRenderer
     import pybullet as pb
     import kubric as kb

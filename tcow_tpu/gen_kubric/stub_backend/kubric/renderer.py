@@ -55,7 +55,11 @@ class Blender:
             rgb = bg.copy()
             zbuf = depth[ti, :, :, 0]
             ids = segm[ti, :, :, 0]
-            # Painter order: far to near by camera distance of the object center.
+            # Painter order: far to near by EUCLIDEAN camera distance of the object
+            # center — the same ordering data_utils.get_thing_occl_cont_dag uses to
+            # decide occlusion direction, so rendered pixels and the annotation DAG
+            # agree by construction (forward depth -xc[2] can invert the order for
+            # laterally-offset objects and contradict the od/rel_order supervision).
             drawables = []
             for idx, a in enumerate(scene.assets):
                 s = float(np.max(a.scale)) if np.ndim(a.scale) else float(a.scale)
@@ -66,8 +70,9 @@ class Blender:
                 d = -xc[2]
                 if d <= 0.2:
                     continue
-                drawables.append((d, idx, a, xc))
-            for d, idx, a, xc in sorted(drawables, key=lambda e: -e[0]):
+                dist = float(np.linalg.norm(np.asarray(p, np.float64) - cam_pos))
+                drawables.append((dist, d, idx, a, xc))
+            for _dist, d, idx, a, xc in sorted(drawables, key=lambda e: -e[0]):
                 u = fx * xc[0] / d + W / 2.0
                 v = H / 2.0 - fx * xc[1] / d
                 rad = max(fx * a.world_radius / d, 1.0)

@@ -74,15 +74,11 @@ def test_export_kub_rand_stub_to_reader(stub_backend, tmp_path):
     items = [ds[i] for i in range(2)]
     for it in items:
         assert it['retries'] == 0
-        assert int(it['inst_count']) == ds_k(it)
+        K = int(it['inst_count'])
+        assert K >= 3
+        assert (it['desirability'][:K, 0] > 0.0).sum() >= 1
     batch = collate_kubric(items, 1, 'train', rng=np.random.default_rng(0))
     assert batch['query_inds'].shape == (2, 1)
-
-
-def ds_k(item):
-    K = int(item['inst_count'])
-    assert (item['desirability'][:K, 0] > 0.0).sum() >= 1
-    return K
 
 
 def test_export_kub_rand_stub_perturbs_views(stub_backend, tmp_path):
