@@ -43,9 +43,13 @@ def main():
     p.add_argument('--what', default='ablate')
     args = p.parse_args()
 
+    # Match bench.py's flagship configuration (fused pallas attention + in-kernel backward)
+    # so the ablation attributes the same program the recorded numbers come from.
     seeker = SeekerConfig(num_total_frames=T, frame_height=H, frame_width=W,
                           causal_attention=1, drop_path_rate=0.1, network_depth=12,
-                          compute_dtype=jnp.bfloat16, remat=True)
+                          compute_dtype=jnp.bfloat16, remat=True,
+                          remat_policy='dots_nb_out', use_pallas_attention=True,
+                          attention_bwd='kernel_x')
     params = mask_tracker.init_params(jax.random.key(0), seeker)
     batch_np = synthetic_device_batch(0, B=B, Q=Q, T=T, H=H, W=W, M=M, K=8)
     batch = {k: jax.device_put(jnp.asarray(v)) for k, v in batch_np.items()}
@@ -61,7 +65,7 @@ def main():
         # Knock out attentions by monkeypatching (profiling only).
         real_attention = tsf.attention
 
-        def no_attention(p, x, num_heads, causal_attention=0, use_pallas=False):
+        def no_attention(p, x, num_heads, **kwargs):
             return tsf._dense(x, p['proj'])  # keep one matmul so shapes/residuals hold
 
         tsf.attention = no_attention
