@@ -169,7 +169,14 @@ if __name__ == '__main__':
     parser.add_argument('--height', type=int, default=64)
     parser.add_argument('--width', type=int, default=96)
     parser.add_argument('--seed', type=int, default=0)
+    # Objects per scene. Keep this comfortably above the --num_queries you plan to train
+    # with: an instance fully occluded at the (augmentation-shifted) query frame scores a
+    # hard -256 desirability and becomes unsampleable, and a scene with fewer than Q
+    # sampleable instances triggers the [SkipCache] re-preprocess retry EVERY epoch
+    # (measured ~60 s/retry at 480x360x40). K=6 keeps Q=3 robust; check with
+    # tools/validate_dataset.py.
+    parser.add_argument('--objects', type=int, default=6)
     a = parser.parse_args()
     write_synthetic_kubric_dataset(a.out, a.num_scenes, a.seed, T=a.frames, H=a.height,
-                                   W=a.width)
+                                   W=a.width, K=a.objects)
     print(f'Wrote {a.num_scenes} synthetic scenes to {a.out}')
