@@ -51,6 +51,10 @@ class SeekerConfig:
     remat_group: int = 1  # blocks per checkpoint region (see TimeSformerConfig)
     use_pallas_attention: bool = False  # fused attention kernels (TPU; best for inference)
     temporal_rope: bool = False  # rotary (relative) time encoding on temporal attention
+    rope_time_coords: bool = False  # feed TRUE source-frame timestamps into the rotary
+    #   tables (time-calibrated rope): strided/subsampled clips (augs stride doubling,
+    #   plugin usage modes) carry their real temporal spacing. Stored in seeker_args so
+    #   eval reconstructs the convention from the checkpoint. Requires temporal_rope.
     attention_bwd: str = 'res'  # 'res' | 'kernel_qkv' | 'kernel_x' (ops/pallas_attention.py)
     batch_axis: Any = None  # mesh axis names for DP / sequence parallelism (see
     seq_axis: Any = None    # timesformer.TimeSformerConfig)
@@ -63,6 +67,9 @@ class SeekerConfig:
         if self.temporal_rope and self.attention_type != 'divided_space_time':
             raise ValueError('temporal_rope requires attention_type=divided_space_time '
                              '(joint attention has no separate temporal axis to rotate)')
+        if self.rope_time_coords and not self.temporal_rope:
+            raise ValueError('rope_time_coords requires temporal_rope=1 (only the rotary '
+                             'encoding consumes per-frame time coordinates)')
         embed_dim, num_heads = tsf.DEPTH_PRESETS[self.network_depth]
         return tsf.TimeSformerConfig(
             frame_height=self.frame_height, frame_width=self.frame_width,
@@ -104,6 +111,7 @@ def seeker_config_from_args(seeker_args: Dict[str, Any], **overrides) -> SeekerC
         output_channels=int(seeker_args.get('output_channels', 3)),
         flag_channels=int(seeker_args.get('flag_channels', 3)),
         temporal_rope=bool(int(seeker_args.get('temporal_rope', 0))),
+        rope_time_coords=bool(int(seeker_args.get('rope_time_coords', 0))),
         pretrained=pretrained)
     kw.update(overrides)
     return SeekerConfig(**kw)
@@ -166,17 +174,21 @@ def coarsen_mask(mask: jnp.ndarray, stride: int, mode: str) -> jnp.ndarray:
 
 def forward(params: Dict[str, Any], cfg: SeekerConfig, input_frames: jnp.ndarray,
             query_mask: jnp.ndarray, *, train: bool = False,
-            rng: Optional[jax.Array] = None) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+            rng: Optional[jax.Array] = None,
+            frame_times: Optional[jnp.ndarray] = None
+            ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     '''
     :param input_frames (B, 3, T, Hf, Wf).
     :param query_mask (B, 1, T, Hf, Wf).
+    :param frame_times optional (B, T) f32 true source timestamps for time-calibrated rope
+        (honored only with cfg.temporal_rope; see timesformer.forward).
     :return (output_mask (B, C, T, Hf, Wf) logits, output_flags (B, T, F) or None).
     '''
     B, _, T, Hf, Wf = input_frames.shape
     x = jnp.concatenate([input_frames.astype(jnp.float32),
                          query_mask.astype(jnp.float32)], axis=1)
     feats, _ = tsf.forward(params['backbone'], cfg.backbone_config(), x, None,
-                           train=train, rng=rng)
+                           train=train, rng=rng, frame_times=frame_times)
     # feats: (B, D, T, H', W') -> (B, T, H', W', D)
     feats = feats.transpose(0, 2, 3, 4, 1)
     Ho, Wo = feats.shape[2], feats.shape[3]

@@ -38,7 +38,8 @@ class Seeker:
         cfg = seeker_config_from_args(state['seeker_args'])
         return cls(cfg, state['params'])
 
-    def __call__(self, input_frames, query_mask, *, train: bool = False, rng=None):
+    def __call__(self, input_frames, query_mask, *, train: bool = False, rng=None,
+                 frame_times=None):
         '''(B,3,T,H,W), (B,1,T,H,W) -> (mask_logits (B,3,T,H,W), flags (B,T,F)).'''
         return mask_tracker.forward(self.params, self.cfg, input_frames, query_mask,
-                                    train=train, rng=rng)
+                                    train=train, rng=rng, frame_times=frame_times)

@@ -179,7 +179,7 @@ def _dense(x, p):
 
 
 def attention(p, x, num_heads: int, causal_attention: int = 0, use_pallas: bool = False,
-              attention_bwd: str = 'res', rope: bool = False):
+              attention_bwd: str = 'res', rope: bool = False, pos=None):
     '''Multi-head self-attention over the second-to-last axis.
 
     Mirrors reference `Attention.forward` (vit.py:78-123): qkv projection with bias, scale
@@ -191,7 +191,9 @@ def attention(p, x, num_heads: int, causal_attention: int = 0, use_pallas: bool 
     (tcow_tpu.ops.pallas_attention).
 
     With rope (temporal attention only, new over the reference), q/k are rotated by their
-    row position so logits depend only on relative offsets (tcow_tpu/ops/rope.py).
+    row position so logits depend only on relative offsets (tcow_tpu/ops/rope.py). `pos`
+    (..., S) f32 supplies TRUE per-sequence positions (time-calibrated rope: source-frame
+    timestamps instead of row indices); None means 0..S-1.
 
     :param x (..., S, D).
     :return (..., S, D).
@@ -201,8 +203,9 @@ def attention(p, x, num_heads: int, causal_attention: int = 0, use_pallas: bool 
         from jax.ad_checkpoint import checkpoint_name
         from tcow_tpu.ops import pallas_attention as pa
         flat = x.reshape(-1, S, D)
+        flat_pos = None if pos is None else pos.reshape(-1, S)
         out = pa.fused_attention(flat, p['qkv']['w'], p['qkv']['b'],
-                                 p['proj']['w'], p['proj']['b'],
+                                 p['proj']['w'], p['proj']['b'], flat_pos,
                                  num_heads, causal_attention, attention_bwd, rope)
         # Named so the 'dots_nb_out*' remat policies can keep the attention output across
         # the per-block checkpoint boundary (no forward-kernel re-run in the backward).
@@ -217,7 +220,11 @@ def attention(p, x, num_heads: int, causal_attention: int = 0, use_pallas: bool 
     v = jnp.moveaxis(qkv[..., 2, :, :], -2, -3)
     if rope:
         from tcow_tpu.ops import rope as rope_lib
-        cos, sin = rope_lib.rope_tables(jnp.arange(S), dh)
+        if pos is None:
+            cos, sin = rope_lib.rope_tables(jnp.arange(S), dh)
+        else:
+            cos, sin = rope_lib.rope_tables(pos, dh)      # (..., S, dh/2)
+            cos, sin = cos[..., None, :, :], sin[..., None, :, :]  # head axis
         q = rope_lib.apply_rope(q, cos, sin)
         k = rope_lib.apply_rope(k, cos, sin)
 
@@ -302,13 +309,14 @@ def _seq_constrain(x, cfg: 'TimeSformerConfig'):
     return jax.lax.with_sharding_constraint(x, P(*spec))
 
 
-def _divided_block(p, xs, cls, cfg: TimeSformerConfig, dpr, rngs):
+def _divided_block(p, xs, cls, cfg: TimeSformerConfig, dpr, rngs, frame_times=None):
     '''One divided space-time block.
 
     :param xs (B, N, T, D) patch tokens.
     :param cls (B, D) cls / extra token.
     :param dpr scalar drop-path rate for this block.
     :param rngs None (deterministic) or dict of 3 PRNG keys.
+    :param frame_times optional (B, T) f32 rope positions (time-calibrated rope).
     :return (xs, cls) updated.
     '''
     B, N, T, D = xs.shape
@@ -319,9 +327,11 @@ def _divided_block(p, xs, cls, cfg: TimeSformerConfig, dpr, rngs):
     # --- Temporal attention over T per patch location (vit.py:168-176).
     xs = _seq_constrain(xs, cfg)  # shard patches; temporal attention is local per patch
     y = layer_norm(xs, p['temporal_norm1'], cfg.ln_eps)
+    pos = (None if frame_times is None
+           else jnp.broadcast_to(frame_times[:, None, :], (B, N, T)))
     res_t = attention(p['temporal_attn'], y, nh, causal_attention=ca,
                       use_pallas=cfg.use_pallas_attention,
-                      attention_bwd=cfg.attention_bwd, rope=cfg.temporal_rope)
+                      attention_bwd=cfg.attention_bwd, rope=cfg.temporal_rope, pos=pos)
     res_t = drop_path(res_t, dpr, r('t'), row_ndim=2)  # independent mask per (b, n)
     res_t = _dense(res_t, p['temporal_fc'])
     xt = xs + res_t
@@ -363,9 +373,10 @@ def _divided_block(p, xs, cls, cfg: TimeSformerConfig, dpr, rngs):
     return tokens, cls2
 
 
-def _joint_block(p, xs, cls, cfg: TimeSformerConfig, dpr, rngs):
+def _joint_block(p, xs, cls, cfg: TimeSformerConfig, dpr, rngs, frame_times=None):
     '''Joint space-time block: one attention over the full (1 + N*T) sequence (vit.py:159-163).
-    Token order matches reference layout b (h w t) m.'''
+    Token order matches reference layout b (h w t) m. frame_times is unused (rope requires
+    the divided temporal axis; SeekerConfig validates).'''
     B, N, T, D = xs.shape
     r = (lambda name: rngs[name]) if rngs is not None else (lambda name: None)
     flat = jnp.concatenate([cls[:, None, :], xs.reshape(B, N * T, D)], axis=1)
@@ -384,11 +395,16 @@ def _joint_block(p, xs, cls, cfg: TimeSformerConfig, dpr, rngs):
 
 def forward(params: Dict[str, Any], cfg: TimeSformerConfig, pixels: jnp.ndarray,
             extra_token_in: Optional[jnp.ndarray] = None, *, train: bool = False,
-            rng: Optional[jax.Array] = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+            rng: Optional[jax.Array] = None,
+            frame_times: Optional[jnp.ndarray] = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     '''Dense forward pass.
 
     :param pixels (B, C, T, H, W) float tensor.
     :param extra_token_in optional (B, D): overwrites the cls token (vision_tf.py:141-144).
+    :param frame_times optional (B, T) f32: TRUE source timestamps of the clip frames for
+        time-calibrated rope (honored only with cfg.temporal_rope; None means 0..T-1).
+        Lets strided/subsampled clips (augs stride doubling, plugin usage modes at stride
+        <= 10) carry their real temporal spacing instead of pretending to be contiguous.
     :return (output_features (B, D, T, H', W'), extra_token_out (B, D)).
     '''
     B, C, T, H, W = pixels.shape
@@ -439,6 +455,10 @@ def forward(params: Dict[str, Any], cfg: TimeSformerConfig, pixels: jnp.ndarray,
     else:
         block_rngs = None
     block_fn = _divided_block if cfg.divided else _joint_block
+    if not cfg.temporal_rope:
+        frame_times = None  # only rope consumes time coordinates
+    if frame_times is not None:
+        frame_times = frame_times.astype(jnp.float32)
 
     # Group G consecutive blocks into one scan step (and one checkpoint region when
     # remat is on): the backward pass then recomputes each block at most once instead of
@@ -457,7 +477,8 @@ def forward(params: Dict[str, Any], cfg: TimeSformerConfig, pixels: jnp.ndarray,
         for i in range(G):
             take = lambda a: jax.tree_util.tree_map(lambda x: x[i], a) if G > 1 else a
             xs, cls = block_fn(take(p_g), xs, cls, cfg, take(dpr_g),
-                               take(rngs_g) if rngs_g is not None else None)
+                               take(rngs_g) if rngs_g is not None else None,
+                               frame_times=frame_times)
         return (xs, cls), None
 
     if cfg.remat:

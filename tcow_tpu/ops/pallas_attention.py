@@ -30,8 +30,10 @@ def _round_up(x: int, m: int) -> int:
 
 
 def attention_ref(x, qkv_w, qkv_b, proj_w, proj_b, num_heads: int, causal_attention: int,
-                  rope: bool = False):
-    '''Reference XLA implementation over (B, S, D); the kernel must match this exactly.'''
+                  rope: bool = False, pos=None):
+    '''Reference XLA implementation over (B, S, D); the kernel must match this exactly.
+    `pos` (B, S) f32: optional per-sequence rope positions (time-calibrated rope); default
+    row positions 0..S-1.'''
     B, S, D = x.shape
     dh = D // num_heads
     scale = dh ** -0.5
@@ -41,7 +43,11 @@ def attention_ref(x, qkv_w, qkv_b, proj_w, proj_b, num_heads: int, causal_attent
     k = jnp.moveaxis(qkv[:, :, 1], 2, 1)
     v = jnp.moveaxis(qkv[:, :, 2], 2, 1)
     if rope:
-        cos, sin = rope_lib.rope_tables(jnp.arange(S), dh)
+        if pos is None:
+            cos, sin = rope_lib.rope_tables(jnp.arange(S), dh)
+        else:
+            cos, sin = rope_lib.rope_tables(pos, dh)      # (B, S, dh/2)
+            cos, sin = cos[:, None], sin[:, None]         # broadcast over heads
         q = rope_lib.apply_rope(q, cos, sin)
         k = rope_lib.apply_rope(k, cos, sin)
     logits = jnp.einsum('bhqd,bhkd->bhqk', q, k,
@@ -57,7 +63,7 @@ def attention_ref(x, qkv_w, qkv_b, proj_w, proj_b, num_heads: int, causal_attent
 
 
 def _kernel(x_ref, qkv_w_ref, qkv_b_ref, proj_w_ref, proj_b_ref, out_ref,
-            qkv_out_ref=None, probs_out_ref=None, attn_out_ref=None, *,
+            qkv_out_ref=None, probs_out_ref=None, attn_out_ref=None, pos_ref=None, *,
             num_heads: int, causal_attention: int, seq_len: int, pack: int,
             rope: bool = False):
     '''Grid cell: a group of G whole sequences. Shapes (G, S_pad, D) in VMEM.
@@ -89,7 +95,12 @@ def _kernel(x_ref, qkv_w_ref, qkv_b_ref, proj_w_ref, proj_b_ref, out_ref,
         mask = jnp.logical_and(mask, (col_ids % S) <= (row_ids % S) + diag)
 
     qkv_p = qkv.reshape(G // P, SP, 3 * D)
-    rope_cs = rope_lib.packed_tables(SP, S, dh) if rope else None
+    if rope:
+        # Time-calibrated positions when supplied; else compile-time row positions r % S.
+        rope_cs = (rope_lib.tables_from_positions(pos_ref[:].reshape(G // P, SP), dh)
+                   if pos_ref is not None else rope_lib.packed_tables(SP, S, dh))
+    else:
+        rope_cs = None
     outs = []
     for h in range(num_heads):
         q = qkv_p[:, :, h * dh:(h + 1) * dh]
@@ -132,12 +143,16 @@ def _pick_group(S_pad: int, D: int, dtype_bytes: int) -> int:
     return p
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
-def fused_attention(x, qkv_w, qkv_b, proj_w, proj_b, num_heads: int,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def fused_attention(x, qkv_w, qkv_b, proj_w, proj_b, pos, num_heads: int,
                     causal_attention: int, bwd_mode: str = 'res', rope: bool = False):
     '''Fused attention over (B, S, D); differentiable. The primal (inference) call skips
     residual outputs entirely, which keeps VMEM in budget at long sequence lengths (the
     ViT-L 480x640 stretch config has S = 1201).
+
+    `pos` (B, S) f32 or None: per-sequence rope positions (time-calibrated rope — TRUE
+    source-frame timestamps instead of row indices). Only meaningful with rope=True; its
+    gradient is zero (positions are coordinates, not parameters).
 
     bwd_mode selects the backward implementation:
       'res'        — forward kernel exports (qkv, packed probs, attn) residuals; backward
@@ -152,7 +167,7 @@ def fused_attention(x, qkv_w, qkv_b, proj_w, proj_b, num_heads: int,
     in timesformer.py so the forward kernel is never re-run in the backward pass.'''
     return _fused_attention_fwd_impl(x, qkv_w, qkv_b, proj_w, proj_b, num_heads,
                                      causal_attention, want_residuals=False,
-                                     rope=rope)[0]
+                                     rope=rope, pos=pos)[0]
 
 
 def _geometry(x, num_heads):
@@ -188,46 +203,67 @@ def _fwd_vmem_limit(x, G, S_pad, pack, D):
     return int(min(max(block_bytes * 1.5, 32 * 1024 * 1024), 120 * 1024 * 1024))
 
 
+def _pad_pos(pos, B_pad, S_pad):
+    '''Pads a (B, S) position array to the kernel grid; padded slots are masked anyway.'''
+    if pos.shape[0] != B_pad or pos.shape[1] != S_pad:
+        pos = jnp.pad(pos, ((0, B_pad - pos.shape[0]), (0, S_pad - pos.shape[1])))
+    return pos.astype(jnp.float32)
+
+
 def _fused_attention_fwd_impl(x, qkv_w, qkv_b, proj_w, proj_b, num_heads,
                               causal_attention, interpret: bool = False,
-                              want_residuals: bool = True, rope: bool = False):
+                              want_residuals: bool = True, rope: bool = False,
+                              pos=None):
     B, S, D, S_pad, pack, G, B_pad = _geometry(x, num_heads)
     SP = S_pad * pack
     xp = x
     if S_pad != S or B_pad != B:
         xp = jnp.pad(x, ((0, B_pad - B), (0, S_pad - S), (0, 0)))
 
+    inputs = [xp, qkv_w, qkv_b, proj_w, proj_b]
+    in_specs = _weight_in_specs(G, S_pad, D)
+    if pos is not None:
+        inputs.append(_pad_pos(pos, B_pad, S_pad))
+        in_specs = in_specs + [pl.BlockSpec((G, S_pad), lambda i: (i, 0),
+                                            memory_space=pltpu.VMEM)]
+
+    kernel = functools.partial(_kernel, num_heads=num_heads,
+                               causal_attention=causal_attention, seq_len=S,
+                               pack=pack, rope=rope)
+
+    def bind(out_names):
+        '''Adapter: pallas passes refs positionally (inputs then outputs); _kernel wants
+        the optional pos input and the optional residual outputs as keywords.'''
+        def wrapped(x_ref, qw, qb, pw, pb, *rest):
+            rest = list(rest)
+            pos_ref = rest.pop(0) if pos is not None else None
+            out_ref = rest.pop(0)
+            kw = dict(zip(out_names, rest))
+            kernel(x_ref, qw, qb, pw, pb, out_ref, pos_ref=pos_ref, **kw)
+        return wrapped
+
     if want_residuals == 'qkv':
-        kernel = functools.partial(_kernel, num_heads=num_heads,
-                                   causal_attention=causal_attention, seq_len=S,
-                                   pack=pack, rope=rope)
-
-        def kernel_qkv_only(x_ref, qw, qb, pw, pb, out_ref, qkv_out_ref):
-            kernel(x_ref, qw, qb, pw, pb, out_ref, qkv_out_ref=qkv_out_ref)
-
         results = pl.pallas_call(
-            kernel_qkv_only,
+            bind(('qkv_out_ref',)),
             out_shape=(jax.ShapeDtypeStruct((B_pad, S_pad, D), x.dtype),
                        jax.ShapeDtypeStruct((B_pad, S_pad, 3 * D), x.dtype)),
             grid=(B_pad // G,),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=_fwd_vmem_limit(x, G, S_pad, pack, D)),
-            in_specs=_weight_in_specs(G, S_pad, D),
+            in_specs=in_specs,
             out_specs=(pl.BlockSpec((G, S_pad, D), lambda i: (i, 0, 0),
                                     memory_space=pltpu.VMEM),
                        pl.BlockSpec((G, S_pad, 3 * D), lambda i: (i, 0, 0),
                                     memory_space=pltpu.VMEM)),
             interpret=interpret,
-        )(xp, qkv_w, qkv_b, proj_w, proj_b)
+        )(*inputs)
         out, qkv = results
         return out[:B, :S], qkv, None, None
 
-    kernel = functools.partial(_kernel, num_heads=num_heads,
-                               causal_attention=causal_attention, seq_len=S, pack=pack,
-                               rope=rope)
     out_shape = [jax.ShapeDtypeStruct((B_pad, S_pad, D), x.dtype)]
     out_specs = [pl.BlockSpec((G, S_pad, D), lambda i: (i, 0, 0),
                               memory_space=pltpu.VMEM)]
+    out_names = ()
     if want_residuals:
         out_shape += [
             jax.ShapeDtypeStruct((B_pad, S_pad, 3 * D), x.dtype),
@@ -240,16 +276,17 @@ def _fused_attention_fwd_impl(x, qkv_w, qkv_b, proj_w, proj_b, num_heads,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((G, S_pad, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ]
+        out_names = ('qkv_out_ref', 'probs_out_ref', 'attn_out_ref')
     results = pl.pallas_call(
-        kernel,
+        bind(out_names),
         out_shape=tuple(out_shape),
         grid=(B_pad // G,),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_fwd_vmem_limit(x, G, S_pad, pack, D)),
-        in_specs=_weight_in_specs(G, S_pad, D),
+        in_specs=in_specs,
         out_specs=tuple(out_specs),
         interpret=interpret,
-    )(xp, qkv_w, qkv_b, proj_w, proj_b)
+    )(*inputs)
     if not want_residuals:
         return (results[0][:B, :S] if isinstance(results, (tuple, list))
                 else results[:B, :S]), None, None, None
@@ -257,46 +294,58 @@ def _fused_attention_fwd_impl(x, qkv_w, qkv_b, proj_w, proj_b, num_heads,
     return out[:B, :S], qkv, probs, attn
 
 
-def _fwd(x, qkv_w, qkv_b, proj_w, proj_b, num_heads, causal_attention, bwd_mode, rope):
+def _fwd(x, qkv_w, qkv_b, proj_w, proj_b, pos, num_heads, causal_attention, bwd_mode,
+         rope):
     from jax.ad_checkpoint import checkpoint_name
     if bwd_mode == 'kernel_x':
         out = _fused_attention_fwd_impl(x, qkv_w, qkv_b, proj_w, proj_b, num_heads,
                                         causal_attention, want_residuals=False,
-                                        rope=rope)[0]
-        return out, (x, qkv_w, qkv_b, proj_w)
+                                        rope=rope, pos=pos)[0]
+        return out, (x, qkv_w, qkv_b, proj_w, pos)
     if bwd_mode == 'kernel_qkv':
         out, qkv, _, _ = _fused_attention_fwd_impl(x, qkv_w, qkv_b, proj_w, proj_b,
                                                    num_heads, causal_attention,
-                                                   want_residuals='qkv', rope=rope)
+                                                   want_residuals='qkv', rope=rope,
+                                                   pos=pos)
         # Named so the 'dots_nb_out_qkv' remat policy can keep qkv across the per-block
         # checkpoint boundary (the fwd kernel is then never re-run in the backward).
         qkv = checkpoint_name(qkv, 'attn_qkv')
-        return out, (x, qkv, qkv_w, qkv_b, proj_w)
+        return out, (x, qkv, qkv_w, qkv_b, proj_w, pos)
     assert bwd_mode == 'res', bwd_mode
     out, qkv, probs, attn = _fused_attention_fwd_impl(
-        x, qkv_w, qkv_b, proj_w, proj_b, num_heads, causal_attention, rope=rope)
+        x, qkv_w, qkv_b, proj_w, proj_b, num_heads, causal_attention, rope=rope, pos=pos)
     # Name the residuals so a remat policy (save_only_these_names) can keep them across the
     # per-block checkpoint boundary, avoiding any attention recompute in the backward.
     qkv = checkpoint_name(qkv, 'attn_res')
     probs = checkpoint_name(probs, 'attn_res')
     attn = checkpoint_name(attn, 'attn_res')
     x_res = checkpoint_name(x, 'attn_res')
-    return out, (x_res, qkv, probs, attn, qkv_w, proj_w)
+    return out, (x_res, qkv, probs, attn, qkv_w, proj_w, pos)
+
+
+def _pos_grad(pos):
+    '''Positions are coordinates, not parameters: zero cotangent (None stays None).'''
+    return None if pos is None else jnp.zeros_like(pos)
 
 
 def _bwd(num_heads, causal_attention, bwd_mode, rope, residuals, g):
     if bwd_mode == 'kernel_x':
-        x, qkv_w, qkv_b, proj_w = residuals
-        return _fused_attention_bwd_impl(x, g, qkv_w, qkv_b, proj_w, None,
-                                         num_heads, causal_attention, rope=rope)
-    if bwd_mode == 'kernel_qkv':
-        x, qkv, qkv_w, qkv_b, proj_w = residuals
-        return _fused_attention_bwd_impl(x, g, qkv_w, qkv_b, proj_w, qkv,
-                                         num_heads, causal_attention, rope=rope)
-    return _bwd_res(num_heads, causal_attention, residuals, g, rope)
+        x, qkv_w, qkv_b, proj_w, pos = residuals
+        grads = _fused_attention_bwd_impl(x, g, qkv_w, qkv_b, proj_w, None,
+                                          num_heads, causal_attention, rope=rope,
+                                          pos=pos)
+    elif bwd_mode == 'kernel_qkv':
+        x, qkv, qkv_w, qkv_b, proj_w, pos = residuals
+        grads = _fused_attention_bwd_impl(x, g, qkv_w, qkv_b, proj_w, qkv,
+                                          num_heads, causal_attention, rope=rope,
+                                          pos=pos)
+    else:
+        pos = residuals[-1]
+        grads = _bwd_res(num_heads, causal_attention, residuals[:-1], g, rope, pos=pos)
+    return grads + (_pos_grad(pos),)
 
 
-def _bwd_res(num_heads, causal_attention, residuals, g, rope: bool = False):
+def _bwd_res(num_heads, causal_attention, residuals, g, rope: bool = False, pos=None):
     '''Explicit attention backward from saved residuals (packed layout; off-block probs are
     exactly zero, so packed matmuls produce correct per-sequence gradients). The saved qkv
     is UN-rotated; with rope the score-path gradients are computed against rotated q/k and
@@ -320,7 +369,12 @@ def _bwd_res(num_heads, causal_attention, residuals, g, rope: bool = False):
     dattn = jnp.dot(g2, proj_w.astype(cdt).T).reshape(B_pad // pack, SP, D)
 
     qkv_p = qkv.reshape(B_pad // pack, SP, 3 * D)
-    rope_cs = rope_lib.packed_tables(SP, S_pad, dh) if rope else None
+    if rope:
+        rope_cs = (rope_lib.tables_from_positions(
+                       _pad_pos(pos, B_pad, S_pad).reshape(B_pad // pack, SP), dh)
+                   if pos is not None else rope_lib.packed_tables(SP, S_pad, dh))
+    else:
+        rope_cs = None
     dqkv = []
     for h in range(num_heads):
         q = qkv_p[:, :, h * dh:(h + 1) * dh]
@@ -373,12 +427,11 @@ fused_attention.defvjp(_fwd, _bwd)
 
 def _bwd_kernel(x_ref, g_ref, qkv_w_ref, qkv_b_ref, proj_w_ref, *rest,
                 num_heads: int, causal_attention: int, seq_len: int, pack: int,
-                has_qkv: bool, rope: bool = False):
-    if has_qkv:
-        qkv_ref, dqkv_ref, attn_ref = rest
-    else:
-        qkv_ref = None
-        dqkv_ref, attn_ref = rest
+                has_qkv: bool, has_pos: bool = False, rope: bool = False):
+    rest = list(rest)
+    pos_ref = rest.pop(0) if has_pos else None
+    qkv_ref = rest.pop(0) if has_qkv else None
+    dqkv_ref, attn_ref = rest
     G, S, D = x_ref.shape
     dh = D // num_heads
     scale = dh ** -0.5
@@ -410,7 +463,11 @@ def _bwd_kernel(x_ref, g_ref, qkv_w_ref, qkv_b_ref, proj_w_ref, *rest,
                                 preferred_element_type=jnp.float32).astype(cdt)
     dattn = dattn.reshape(G // P, SP, D)
 
-    rope_cs = rope_lib.packed_tables(SP, S, dh) if rope else None
+    if rope:
+        rope_cs = (rope_lib.tables_from_positions(pos_ref[:].reshape(G // P, SP), dh)
+                   if pos_ref is not None else rope_lib.packed_tables(SP, S, dh))
+    else:
+        rope_cs = None
     attn_parts, dq_parts, dk_parts, dv_parts = [], [], [], []
     for h in range(num_heads):
         q = qkv_p[:, :, h * dh:(h + 1) * dh]
@@ -452,7 +509,7 @@ def _bwd_kernel(x_ref, g_ref, qkv_w_ref, qkv_b_ref, proj_w_ref, *rest,
 
 def _fused_attention_bwd_impl(x, g, qkv_w, qkv_b, proj_w, qkv, num_heads,
                               causal_attention, interpret: bool = False,
-                              rope: bool = False):
+                              rope: bool = False, pos=None):
     '''Runs the in-kernel backward; qkv=None recomputes qkv from x inside the kernel.
     Returns (dx, dqkv_w, dqkv_b, dproj_w, dproj_b).'''
     B, S, D, S_pad, pack, G, B_pad = _geometry(x, num_heads)
@@ -474,6 +531,10 @@ def _fused_attention_bwd_impl(x, g, qkv_w, qkv_b, proj_w, qkv, num_heads,
         pl.BlockSpec((3 * D,), lambda i: (0,), memory_space=pltpu.VMEM),
         pl.BlockSpec((D, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
     ]
+    if pos is not None:
+        inputs.append(_pad_pos(pos, B_pad, S_pad))
+        in_specs.append(pl.BlockSpec((G, S_pad), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM))
     if qkv is not None:
         assert qkv.shape == (B_pad, S_pad, 3 * D), (qkv.shape, (B_pad, S_pad, 3 * D))
         inputs.append(qkv)
@@ -495,7 +556,8 @@ def _fused_attention_bwd_impl(x, g, qkv_w, qkv_b, proj_w, qkv, num_heads,
     vmem_limit = int(min(max(block_bytes * 1.5, 48 * 1024 * 1024), 124 * 1024 * 1024))
     kernel = functools.partial(_bwd_kernel, num_heads=num_heads,
                                causal_attention=causal_attention, seq_len=S, pack=pack,
-                               has_qkv=qkv is not None, rope=rope)
+                               has_qkv=qkv is not None, has_pos=pos is not None,
+                               rope=rope)
     dqkv, attn = pl.pallas_call(
         kernel,
         out_shape=out_shape,

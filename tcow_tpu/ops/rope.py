@@ -30,6 +30,22 @@ def rope_tables(positions, dh: int, base: float = DEFAULT_BASE, dtype=jnp.float3
     return jnp.cos(ang), jnp.sin(ang)
 
 
+def tables_from_positions(pos, dh: int, base: float = DEFAULT_BASE):
+    '''cos/sin (..., S, dh // 2) from an f32 position array (..., S).
+
+    TPU-kernel-safe variant of `rope_tables`: builds the frequency ladder from a >=2-D
+    broadcasted_iota (Mosaic rejects 1-D iota and float-typed tpu.iota results), so it can
+    run inside a Pallas kernel on a traced position operand. Used by the time-calibrated
+    rope path where positions are TRUE source-frame timestamps (per example), not 0..S-1.'''
+    import jax
+    dh2 = dh // 2
+    shape = pos.shape + (dh2,)
+    j = jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 1).astype(jnp.float32)
+    freqs = base ** (-j * 2.0 / dh)
+    ang = pos[..., None].astype(jnp.float32) * freqs
+    return jnp.cos(ang), jnp.sin(ang)
+
+
 def packed_tables(SP: int, S: int, dh: int, base: float = DEFAULT_BASE):
     '''cos/sin (SP, dh // 2) for the Pallas packed layout: `pack` sequences of padded
     length S are concatenated along the row axis, so row r has position r % S. Built from

@@ -46,7 +46,7 @@ def test_custom_vjp_gradients_match_reference():
 
     def loss_fused(*a):
         # interpret-mode forward with the real custom-vjp wiring
-        out = pa.fused_attention(*a, 2, 1)
+        out = pa.fused_attention(*a, None, 2, 1)
         return jnp.sum(out ** 2)
 
     def loss_ref(*a):
@@ -75,7 +75,7 @@ def test_in_kernel_backward_matches_reference(mode, ca):
     args = make_inputs(B=7, S=13, D=32, seed=3)
 
     def loss_fused(*a):
-        return jnp.sum(pa.fused_attention(*a, 4, ca, mode) ** 2)
+        return jnp.sum(pa.fused_attention(*a, None, 4, ca, mode) ** 2)
 
     def loss_ref(*a):
         return jnp.sum(pa.attention_ref(*a, 4, ca) ** 2)
@@ -85,7 +85,7 @@ def test_in_kernel_backward_matches_reference(mode, ca):
     pa._fused_attention_fwd_impl = functools.partial(orig_f, interpret=True)
     pa._fused_attention_bwd_impl = functools.partial(orig_b, interpret=True)
     try:
-        out = pa.fused_attention(*args, 4, ca, mode)
+        out = pa.fused_attention(*args, None, 4, ca, mode)
         g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(*args)
     finally:
         pa._fused_attention_fwd_impl = orig_f
@@ -109,7 +109,7 @@ def test_in_kernel_backward_packed_geometry(mode):
     pa._fused_attention_fwd_impl = functools.partial(orig_f, interpret=True)
     pa._fused_attention_bwd_impl = functools.partial(orig_b, interpret=True)
     try:
-        g_fused = jax.grad(lambda *a: jnp.sum(pa.fused_attention(*a, 2, 1, mode) ** 2),
+        g_fused = jax.grad(lambda *a: jnp.sum(pa.fused_attention(*a, None, 2, 1, mode) ** 2),
                            argnums=(0, 1, 2, 3, 4))(*args)
     finally:
         pa._fused_attention_fwd_impl = orig_f

@@ -80,7 +80,7 @@ def test_rope_gradients_match_reference(mode):
     args = make_inputs(B=7, S=13, D=32, seed=3)
 
     def loss_fused(*a):
-        return jnp.sum(pa.fused_attention(*a, 4, 1, mode, True) ** 2)
+        return jnp.sum(pa.fused_attention(*a, None, 4, 1, mode, True) ** 2)
 
     def loss_ref(*a):
         return jnp.sum(pa.attention_ref(*a, 4, 1, rope=True) ** 2)
@@ -196,3 +196,120 @@ def test_seeker_args_roundtrip_rope():
     cfg = seeker_config_from_args({'temporal_rope': 1, 'network_depth': 12})
     assert cfg.temporal_rope is True
     assert seeker_config_from_args({'network_depth': 12}).temporal_rope is False
+
+
+# ---------------------------------------------------------------------------
+# Time-calibrated rope: per-sequence TRUE source-frame positions in the rotary tables.
+# ---------------------------------------------------------------------------
+
+def _random_positions(rng, B, S, max_stride=7):
+    '''Monotonic but non-uniform per-sequence times (like strided/subsampled clips).'''
+    steps = rng.randint(1, max_stride, size=(B, S)).astype(np.float32)
+    return jnp.asarray(np.cumsum(steps, axis=1) - steps[:, :1])
+
+
+@pytest.mark.parametrize('ca', [0, 1])
+def test_fused_rope_positions_match_reference(ca):
+    from test_pallas_attention import make_inputs
+    x, qkv_w, qkv_b, proj_w, proj_b = make_inputs(B=5, S=13)
+    args = (x, qkv_w * 8.0, qkv_b, proj_w, proj_b)
+    rng = np.random.RandomState(4)
+    pos = _random_positions(rng, 5, 13)
+    want = pa.attention_ref(*args, num_heads=4, causal_attention=ca, rope=True, pos=pos)
+    got = pa._fused_attention_fwd_impl(*args, 4, ca, interpret=True, rope=True,
+                                       pos=pos)[0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5)
+    # Non-trivial positions must change the output vs row-index positions.
+    row = pa._fused_attention_fwd_impl(*args, 4, ca, interpret=True, rope=True)[0]
+    assert np.abs(np.asarray(got) - np.asarray(row)).max() > 1e-3
+
+
+def test_fused_rope_positions_default_is_row_index():
+    '''pos=arange must reproduce the position-free (compile-time packed tables) path.'''
+    from test_pallas_attention import make_inputs
+    x, qkv_w, qkv_b, proj_w, proj_b = make_inputs(B=5, S=13)
+    args = (x, qkv_w * 8.0, qkv_b, proj_w, proj_b)
+    pos = jnp.broadcast_to(jnp.arange(13, dtype=jnp.float32), (5, 13))
+    got = pa._fused_attention_fwd_impl(*args, 4, 1, interpret=True, rope=True, pos=pos)[0]
+    row = pa._fused_attention_fwd_impl(*args, 4, 1, interpret=True, rope=True)[0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(row), rtol=1e-5, atol=1e-6)
+
+
+def test_fused_rope_positions_shift_invariance():
+    '''Shifting ALL positions of a sequence by a constant leaves the attention output
+    unchanged (relative encoding) — at the level of the full fused call.'''
+    from test_pallas_attention import make_inputs
+    x, qkv_w, qkv_b, proj_w, proj_b = make_inputs(B=3, S=10)
+    args = (x, qkv_w * 8.0, qkv_b, proj_w, proj_b)
+    rng = np.random.RandomState(5)
+    pos = _random_positions(rng, 3, 10)
+    a = pa._fused_attention_fwd_impl(*args, 4, 1, interpret=True, rope=True, pos=pos)[0]
+    b = pa._fused_attention_fwd_impl(*args, 4, 1, interpret=True, rope=True,
+                                     pos=pos + 211.0)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize('mode', ['res', 'kernel_qkv', 'kernel_x'])
+def test_rope_positions_gradients_match_reference(mode):
+    '''All three custom backwards with per-sequence positions (padded S=13 -> 16).'''
+    from test_pallas_attention import make_inputs
+    args = make_inputs(B=7, S=13, D=32, seed=3)
+    rng = np.random.RandomState(6)
+    pos = _random_positions(rng, 7, 13)
+
+    def loss_fused(*a):
+        return jnp.sum(pa.fused_attention(*a, pos, 4, 1, mode, True) ** 2)
+
+    def loss_ref(*a):
+        return jnp.sum(pa.attention_ref(*a, 4, 1, rope=True, pos=pos) ** 2)
+
+    orig_f, orig_b = pa._fused_attention_fwd_impl, pa._fused_attention_bwd_impl
+    pa._fused_attention_fwd_impl = functools.partial(orig_f, interpret=True)
+    pa._fused_attention_bwd_impl = functools.partial(orig_b, interpret=True)
+    try:
+        g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(*args)
+    finally:
+        pa._fused_attention_fwd_impl = orig_f
+        pa._fused_attention_bwd_impl = orig_b
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(*args)
+    for a, b in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=3e-4, atol=3e-5)
+
+
+def test_backbone_frame_times(rope_setup):
+    '''frame_times=arange reproduces the default; stride-2 times change the output and
+    match the XLA reference path fed the same times.'''
+    from tcow_tpu.models import mask_tracker as mt
+    cfg, params = rope_setup
+    B, T, H, W = 2, 6, 32, 48
+    rng = np.random.RandomState(3)
+    rgb = jnp.asarray(rng.rand(B, 3, T, H, W), jnp.float32)
+    query = jnp.zeros((B, 1, T, H, W)).at[:, :, 1, 8:16, 8:24].set(1.0)
+
+    base_m, base_f = mt.forward(params, cfg, rgb, query)
+    times = jnp.broadcast_to(jnp.arange(T, dtype=jnp.float32), (B, T))
+    same_m, same_f = mt.forward(params, cfg, rgb, query, frame_times=times)
+    np.testing.assert_allclose(np.asarray(same_m), np.asarray(base_m),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(same_f), np.asarray(base_f),
+                               rtol=1e-5, atol=1e-5)
+
+    strided_m, _ = mt.forward(params, cfg, rgb, query, frame_times=times * 2.0)
+    assert np.abs(np.asarray(strided_m) - np.asarray(base_m)).max() > 1e-4
+
+    # Ignored without temporal_rope (positions only feed the rotation).
+    import dataclasses
+    cfg_off = dataclasses.replace(cfg, temporal_rope=False)
+    off_a, _ = mt.forward(params, cfg_off, rgb, query)
+    off_b, _ = mt.forward(params, cfg_off, rgb, query, frame_times=times * 5.0)
+    np.testing.assert_allclose(np.asarray(off_a), np.asarray(off_b), rtol=0, atol=0)
+
+
+def test_rope_time_coords_requires_rope():
+    from tcow_tpu.models.mask_tracker import seeker_config_from_args
+    cfg = seeker_config_from_args({'rope_time_coords': 1, 'network_depth': 12})
+    with pytest.raises(ValueError, match='rope_time_coords'):
+        cfg.backbone_config()
+    ok = seeker_config_from_args({'temporal_rope': 1, 'rope_time_coords': 1,
+                                  'network_depth': 12})
+    assert ok.rope_time_coords is True and ok.backbone_config() is not None
