@@ -105,6 +105,17 @@ def train_args(argv=None):
                              'windowed streaming then extrapolates past the trained '
                              'horizon without clamping time indices. New over the '
                              'reference; requires training with the flag on.')
+    parser.add_argument('--rope_time_coords', default=0, type=int,
+                        help='1 (with --temporal_rope): feed TRUE source-frame timestamps '
+                             'into the rotary tables (time-calibrated rope) — strided / '
+                             'subsampled clips (stride augs, plugin usage modes) carry '
+                             'their real temporal spacing instead of pretending to be '
+                             'contiguous. Stored in seeker_args.')
+    parser.add_argument('--rope_time_stretch', default=1.0, type=float,
+                        help='> 1 (train, with --rope_time_coords): scale each example\'s '
+                             'rope time coordinates by a random log-uniform factor in '
+                             '[1, S] — a pure coordinate augmentation exercising LONG '
+                             'relative offsets for far-past-horizon streaming.')
     parser.add_argument('--norm_embeddings', default=False, type=_str2bool)
     parser.add_argument('--drop_path_rate', default=0.1, type=float)
     parser.add_argument('--network_depth', default=12, type=int)
@@ -228,6 +239,7 @@ def build_seeker_args(args) -> Dict[str, Any]:
         patch_size=args.patch_size,
         causal_attention=args.causal_attention,
         temporal_rope=int(getattr(args, 'temporal_rope', 0)),
+        rope_time_coords=int(getattr(args, 'rope_time_coords', 0)),
         norm_embeddings=args.norm_embeddings,
         drop_path_rate=args.drop_path_rate,
         network_depth=args.network_depth,

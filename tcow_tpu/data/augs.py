@@ -127,11 +127,16 @@ class AugmentationPipeline:
     def __init__(self, num_frames_load: int, num_frames_clip: int, frame_height: int,
                  frame_width: int, frame_stride: int, do_random_augs: bool, augs_2d: bool,
                  reverse_prob: float, palindrome_prob: float, center_crop: bool,
-                 defer_color_jitter: bool = False):
+                 defer_color_jitter: bool = False, time_stretch_max: float = 1.0):
         # defer_color_jitter: sample the jitter factors here (same RNG stream) but leave
         # the pixel math to the device (tcow_tpu/ops/device_augs.py); factors land in
         # params['jitter_factors'].
+        # time_stretch_max > 1 (train + rope_time_coords only): scale each example's rope
+        # time coordinates by a random log-uniform factor in [1, max] — a pure coordinate
+        # augmentation (no pixel change) that exercises LONG relative offsets so windowed
+        # streaming far past the trained horizon stays in-distribution.
         self.defer_color_jitter = defer_color_jitter
+        self.time_stretch_max = time_stretch_max
         self.num_frames_load = num_frames_load
         self.num_frames_clip = num_frames_clip
         self.frame_height = frame_height
@@ -190,8 +195,21 @@ class AugmentationPipeline:
                     rng.random() * 0.2, rng.random() * 0.2 + 0.8,
                     rng.random() * 0.2, rng.random() * 0.2 + 0.8])
             # Color parameters are sampled lazily inside apply (same rng), so stash it.
+        params['time_stretch'] = 1.0
+        if self.do_random_augs and self.time_stretch_max > 1.0:
+            params['time_stretch'] = float(np.exp(
+                rng.uniform(0.0, np.log(self.time_stretch_max))))
         params['_rng_state'] = rng.bit_generator.state
         return params
+
+    def frame_times(self, params: Dict) -> np.ndarray:
+        '''TRUE source timestamps (f32, len Tc) of the augmented clip for time-calibrated
+        rope: load indices (which carry the base frame_stride) indexed by the temporally
+        augmented clip order, times the optional stretch factor. Stride doubling yields
+        doubled gaps, reversal decreasing times, palindrome mirror frames their genuinely
+        repeated times.'''
+        t = params['frame_inds_load'][params['frame_inds_clip']].astype(np.float32)
+        return t * np.float32(params.get('time_stretch', 1.0))
 
     def apply_augs_2d_frames(self, modalities: Dict[str, np.ndarray],
                              params: Dict) -> Dict[str, np.ndarray]:

@@ -196,7 +196,9 @@ def _kubric_dset_args(args) -> Dict[str, Any]:
         num_queries=args.num_queries, query_time=args.seeker_query_time,
         max_objects=36, front_occl_thres=args.front_occl_thres,
         outer_cont_thres=args.outer_cont_thres, reverse_prob=args.kubric_reverse_prob,
-        palindrome_prob=args.kubric_palindrome_prob)
+        palindrome_prob=args.kubric_palindrome_prob,
+        time_stretch_max=(float(getattr(args, 'rope_time_stretch', 1.0))
+                          if int(getattr(args, 'rope_time_coords', 0)) else 1.0))
 
 
 def create_train_val_data_loaders(args, logger, shard=(0, 1)):

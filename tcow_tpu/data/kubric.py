@@ -44,7 +44,7 @@ class KubricQueryDataset:
                  max_objects: int = 36, front_occl_thres: float = 0.95,
                  outer_cont_thres: float = 0.75, reverse_prob: float = 0.0,
                  palindrome_prob: float = 0.0, seed: int = 0, use_cache: bool = True,
-                 device_color_jitter: bool = False):
+                 device_color_jitter: bool = False, time_stretch_max: float = 1.0):
         self.dset_root = dset_root
         self.logger = logger
         self.phase = phase
@@ -95,7 +95,8 @@ class KubricQueryDataset:
         self.augs_pipeline = augs_lib.AugmentationPipeline(
             self.num_frames_load, self.num_frames_clip, frame_height, frame_width,
             frame_stride, self.do_random_augs, augs_2d, reverse_prob, palindrome_prob,
-            center_crop=False, defer_color_jitter=device_color_jitter)
+            center_crop=False, defer_color_jitter=device_color_jitter,
+            time_stretch_max=(time_stretch_max if self.do_random_augs else 1.0))
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
@@ -296,6 +297,8 @@ class KubricQueryDataset:
             'query_time': np.int32(query_time),
             'inst_count': np.int32(K),
             'frame_inds_direct': pre['frame_inds_load'][frame_inds_clip],
+            # TRUE source timestamps (x optional stretch) for time-calibrated rope.
+            'frame_times': self.augs_pipeline.frame_times(augs_params),
             'augs_params': {k: v for k, v in augs_params.items() if k != '_rng_state'},
         }
 
@@ -342,6 +345,9 @@ def collate_kubric(items: List[Dict], num_queries: int, phase: str,
     if 'jitter_factors' in items[0]:
         batch['jitter_factors'] = np.stack([it['jitter_factors'] for it in items])
         batch['jitter_order'] = np.stack([it['jitter_order'] for it in items])
+    if 'frame_times' in items[0]:
+        batch['frame_times'] = np.stack([it['frame_times'] for it in items]) \
+            .astype(np.float32)                                    # (B, Tc)
     inst_count = np.array([it['inst_count'] for it in items])
     desirability = np.stack([it['desirability'] for it in items])
     batch['query_inds'] = query_sampling.sample_query_inds(

@@ -71,10 +71,10 @@ class InferenceEngine:
         self._kubric_step = jax.jit(step_lib.make_eval_step(step_cfg, return_outputs=True))
         self._plugin_step = jax.jit(self._plugin_fn)
 
-    def _plugin_fn(self, params, rgb, query, target):
+    def _plugin_fn(self, params, rgb, query, target, frame_times):
         import jax
         out_mask, out_flags = mask_tracker.forward(params, self.cfg, rgb, query,
-                                                   train=False)
+                                                   train=False, frame_times=frame_times)
         per_ex = jax.vmap(lambda o, t: metrics_lib.mask_track_metric_sums(
             o[None, None], t[None, None]))(out_mask, target)
         return out_mask, out_flags, per_ex
@@ -165,12 +165,19 @@ class InferenceEngine:
                 o[:, None], t[:, None]))
         return self._metric_fn(out_mask, target)
 
-    def run_plugin(self, rgb: np.ndarray, query: np.ndarray, target: np.ndarray):
-        '''Batched usage modes -> per-example (model_retval, loss_retval) lists.'''
+    def run_plugin(self, rgb: np.ndarray, query: np.ndarray, target: np.ndarray,
+                   frame_times: 'np.ndarray | None' = None):
+        '''Batched usage modes -> per-example (model_retval, loss_retval) lists.
+        frame_times (B, T): each usage mode's true source-frame indices, honored by
+        time-calibrated-rope checkpoints (cfg.rope_time_coords) — a stride-3 clip then
+        attends with 3-frame relative gaps instead of pretending to be contiguous.'''
         import jax
         import jax.numpy as jnp
+        ft = None
+        if self.cfg.rope_time_coords and frame_times is not None:
+            ft = jnp.asarray(frame_times, jnp.float32)
         out_mask, out_flags, per_ex = self._plugin_step(
-            self.params, jnp.asarray(rgb), jnp.asarray(query), jnp.asarray(target))
+            self.params, jnp.asarray(rgb), jnp.asarray(query), jnp.asarray(target), ft)
         out_mask = np.asarray(out_mask)
         out_flags = np.asarray(out_flags) if out_flags is not None else None
         per_ex = jax.device_get(per_ex)

@@ -81,8 +81,11 @@ def _test_inner_plugin(all_args, engine, dataset, logger, step_offset):
         rgb = np.stack([it['rgb'] for it in chunk])
         query = np.stack([it['query'] for it in chunk])
         target = np.stack([it['target'] for it in chunk])
+        # True source-frame indices of each usage mode (time-calibrated rope checkpoints).
+        frame_times = (np.stack([it['frame_inds'] for it in chunk]).astype(np.float32)
+                       if 'frame_inds' in chunk[0] else None)
         for j, (model_retval, loss_retval) in enumerate(
-                engine.run_plugin(rgb, query, target)):
+                engine.run_plugin(rgb, query, target, frame_times=frame_times)):
             it = chunk[j]
             real_step = i0 + j + step_offset
             retval = {

@@ -16,6 +16,9 @@ Batch schema (all static shapes; instance axis padded to M, SURVEY.md section 7.
   query_time    ()              int32   shared query frame index
   occl_fracs    (B, M, T, 3)    float32
   occl_cont_dag (B, T, M, M, 3) float32
+  frame_times   (B, T)          float32 optional: TRUE source timestamps of the clip
+                                frames (time-calibrated rope; consumed only when
+                                seeker.rope_time_coords is set)
 '''
 
 import dataclasses
@@ -67,8 +70,14 @@ def _forward_queries(params, cfg: StepConfig, batch, sup, train: bool, rng):
     rgb_q = rgb_q.reshape(B * Q, 3, T, H, W)
     qmask = sup['seeker_query_mask'].reshape(B * Q, 1, T, H, W)
 
+    frame_times = None
+    if cfg.seeker.rope_time_coords and 'frame_times' in batch:
+        # (B, T) true source timestamps -> every query of an example shares its clock.
+        frame_times = jnp.broadcast_to(batch['frame_times'][:, None],
+                                       (B, Q, T)).reshape(B * Q, T)
     out_mask, out_flags = mask_tracker.forward(params, cfg.seeker, rgb_q, qmask,
-                                               train=train, rng=rng)
+                                               train=train, rng=rng,
+                                               frame_times=frame_times)
     C = cfg.seeker.output_channels
     out_mask = out_mask.reshape(B, Q, C, T, H, W)
     if out_flags is not None:
@@ -227,11 +236,13 @@ def make_vis_step(cfg: StepConfig, max_queries: int = 2):
 
 
 def make_inference_step(cfg: SeekerConfig):
-    '''Plugin-style inference: (params, rgb (B,3,T,H,W), query (B,1,T,H,W)) ->
-    (mask logits (B,3,T,H,W), flags (B,T,F)). Matches the reference forward_plugin
-    (pipeline.py:202-240).'''
+    '''Plugin-style inference: (params, rgb (B,3,T,H,W), query (B,1,T,H,W)[, frame_times
+    (B,T)]) -> (mask logits (B,3,T,H,W), flags (B,T,F)). Matches the reference
+    forward_plugin (pipeline.py:202-240); frame_times carries the usage mode's true
+    source-frame spacing for time-calibrated rope checkpoints.'''
 
-    def infer(params, rgb, query):
-        return mask_tracker.forward(params, cfg, rgb, query, train=False)
+    def infer(params, rgb, query, frame_times=None):
+        return mask_tracker.forward(params, cfg, rgb, query, train=False,
+                                    frame_times=frame_times)
 
     return infer

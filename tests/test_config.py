@@ -72,12 +72,12 @@ def test_seeker_args_schema():
     args = config_lib.train_args(['--data_path', '/tmp', '--name', ''])
     sa = config_lib.build_seeker_args(args)
     # Exact key set of the reference checkpoint payload (train.py:186-206), plus this
-    # repo's temporal_rope extension (absent keys default off when loading reference
-    # checkpoints — seeker_config_from_args).
+    # repo's temporal_rope / rope_time_coords extensions (absent keys default off when
+    # loading reference checkpoints — seeker_config_from_args).
     assert set(sa.keys()) == {
         'num_total_frames', 'num_visible_frames', 'frame_height', 'frame_width',
         'tracker_pretrained', 'attention_type', 'patch_size', 'causal_attention',
         'norm_embeddings', 'drop_path_rate', 'network_depth', 'track_map_stride',
         'track_map_resize', 'query_channels', 'output_channels', 'flag_channels',
-        'temporal_rope'}
+        'temporal_rope', 'rope_time_coords'}
     assert sa['output_channels'] == 3 and sa['flag_channels'] == 3

@@ -251,3 +251,31 @@ def test_prefetch_loader_sharding_partitions_the_global_batch(synth_dataset):
     assert len(full) == len(s0) == len(s1)
     for f, a, b in zip(full, s0, s1):
         np.testing.assert_array_equal(np.concatenate([a, b]), f)
+
+
+def test_kubric_frame_times_and_stretch(synth_dataset):
+    '''Items carry TRUE source timestamps (= frame_inds_direct, times the optional
+    stretch); the collate stacks them to a (B, T) f32 batch key.'''
+    ds = KubricQueryDataset(synth_dataset, None, 'train', num_frames=8, frame_height=32,
+                            frame_width=48, max_delay=2, num_queries=2, max_objects=6,
+                            augs_2d=False, reverse_prob=0.5, palindrome_prob=0.5, seed=9,
+                            time_stretch_max=6.0)
+    item = ds[0]
+    stretch = item['augs_params']['time_stretch']
+    assert 1.0 <= stretch <= 6.0
+    np.testing.assert_allclose(
+        item['frame_times'],
+        item['frame_inds_direct'].astype(np.float32) * np.float32(stretch), rtol=1e-6)
+    batch = collate_kubric([ds[0], ds[1]], num_queries=2, phase='train',
+                           rng=np.random.default_rng(0))
+    assert batch['frame_times'].shape == (2, 8)
+    assert batch['frame_times'].dtype == np.float32
+
+    # val_noaug phase: stretch disabled, times are the plain source indices.
+    ds_na = KubricQueryDataset(synth_dataset, None, 'val_noaug', num_frames=8,
+                               frame_height=32, frame_width=48, max_delay=2,
+                               num_queries=2, max_objects=6, augs_2d=False, seed=9,
+                               time_stretch_max=6.0)
+    item_na = ds_na[0]
+    np.testing.assert_allclose(item_na['frame_times'],
+                               item_na['frame_inds_direct'].astype(np.float32))

@@ -305,6 +305,115 @@ def test_backbone_frame_times(rope_setup):
     np.testing.assert_allclose(np.asarray(off_a), np.asarray(off_b), rtol=0, atol=0)
 
 
+def test_augs_frame_times_reflect_temporal_augs():
+    '''frame_times = load indices (carrying the base frame_stride) composed with the
+    temporal-aug clip order, times the stretch factor.'''
+    from tcow_tpu.data import augs as augs_lib
+    pipe = augs_lib.AugmentationPipeline(
+        num_frames_load=10, num_frames_clip=8, frame_height=24, frame_width=32,
+        frame_stride=2, do_random_augs=False, augs_2d=False, reverse_prob=0.0,
+        palindrome_prob=0.0, center_crop=False)
+    p = pipe.sample_augs_params(np.random.default_rng(0))
+    np.testing.assert_allclose(pipe.frame_times(p),
+                               np.arange(8, dtype=np.float32) * 2.0)  # base stride 2
+    # Reversal: decreasing true times; stride doubling: doubled gaps.
+    p2 = dict(p, frame_inds_clip=np.asarray(p['frame_inds_clip'])[::-1])
+    np.testing.assert_allclose(pipe.frame_times(p2), pipe.frame_times(p)[::-1])
+    p3 = dict(p, time_stretch=4.0)
+    np.testing.assert_allclose(pipe.frame_times(p3), pipe.frame_times(p) * 4.0)
+
+
+def test_augs_time_stretch_sampling():
+    from tcow_tpu.data import augs as augs_lib
+    pipe = augs_lib.AugmentationPipeline(
+        num_frames_load=10, num_frames_clip=8, frame_height=24, frame_width=32,
+        frame_stride=1, do_random_augs=True, augs_2d=False, reverse_prob=0.1,
+        palindrome_prob=0.1, center_crop=False, time_stretch_max=8.0)
+    vals = [pipe.sample_augs_params(np.random.default_rng(i))['time_stretch']
+            for i in range(200)]
+    assert all(1.0 <= v <= 8.0 for v in vals)
+    assert min(vals) < 2.0 < max(vals)  # spans the range
+    # Deterministic given the seed.
+    assert (pipe.sample_augs_params(np.random.default_rng(7))['time_stretch']
+            == pipe.sample_augs_params(np.random.default_rng(7))['time_stretch'])
+    # Off by default: no draw, factor 1.
+    pipe0 = augs_lib.AugmentationPipeline(
+        num_frames_load=10, num_frames_clip=8, frame_height=24, frame_width=32,
+        frame_stride=1, do_random_augs=True, augs_2d=False, reverse_prob=0.1,
+        palindrome_prob=0.1, center_crop=False)
+    assert pipe0.sample_augs_params(np.random.default_rng(3))['time_stretch'] == 1.0
+
+
+def test_step_threads_frame_times(rope_setup, monkeypatch):
+    '''The train/eval step broadcasts the batch's (B, T) frame_times to every query and
+    hands them to the model — only when the config opts into rope_time_coords.'''
+    import dataclasses
+    from tcow_tpu.data.synthetic import synthetic_device_batch
+    from tcow_tpu.models import mask_tracker as mt
+    from tcow_tpu.objectives.losses import LossConfig
+    from tcow_tpu.train import step as step_lib
+    cfg, params = rope_setup
+    batch = synthetic_device_batch(0, B=1, Q=2, T=6, H=32, W=48, M=6, K=3)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    batch['frame_times'] = jnp.arange(6, dtype=jnp.float32)[None] * 3.0
+
+    captured = {}
+    orig = mt.forward
+
+    def spy(params_, cfg_, rgb, q, **kw):
+        captured['ft'] = kw.get('frame_times')
+        return orig(params_, cfg_, rgb, q, **kw)
+
+    monkeypatch.setattr(mt, 'forward', spy)
+    monkeypatch.setattr(step_lib.mask_tracker, 'forward', spy)
+
+    seeker_on = dataclasses.replace(cfg, rope_time_coords=True)
+    on_cfg = step_lib.StepConfig(seeker=seeker_on, loss=LossConfig(), num_queries=2)
+    step_lib.make_eval_step(on_cfg)(params, batch, jnp.float32(0.5))
+    assert captured['ft'] is not None and captured['ft'].shape == (2, 6)
+    np.testing.assert_allclose(np.asarray(captured['ft'][1]),
+                               np.arange(6, dtype=np.float32) * 3.0)
+
+    off_cfg = step_lib.StepConfig(seeker=cfg, loss=LossConfig(), num_queries=2)
+    step_lib.make_eval_step(off_cfg)(params, batch, jnp.float32(0.5))
+    assert captured['ft'] is None
+
+
+def test_plugin_engine_threads_frame_times(rope_setup, monkeypatch):
+    '''run_plugin forwards each usage mode's true source-frame indices to the model when
+    the checkpoint config has rope_time_coords.'''
+    import dataclasses
+    from tcow_tpu.evaluation.inference import InferenceEngine
+    from tcow_tpu.models import mask_tracker as mt
+    from tcow_tpu.objectives.losses import LossConfig
+    cfg, params = rope_setup
+    seen = {}
+    orig = mt.forward
+
+    def spy(params_, cfg_, rgb, q, **kw):
+        seen['ft'] = kw.get('frame_times')
+        return orig(params_, cfg_, rgb, q, **kw)
+
+    monkeypatch.setattr(mt, 'forward', spy)
+    import tcow_tpu.evaluation.inference as inf_mod
+    monkeypatch.setattr(inf_mod.mask_tracker, 'forward', spy)
+
+    engine = InferenceEngine(params, dataclasses.replace(cfg, rope_time_coords=True),
+                             LossConfig(), num_queries=1)
+    B, T, H, W = 2, 6, 32, 48
+    rgb = np.random.RandomState(0).rand(B, 3, T, H, W).astype(np.float32)
+    query = np.zeros((B, 1, T, H, W), np.float32)
+    query[:, :, 0, 8:16, 8:24] = 1.0
+    target = -np.ones((B, 3, T, H, W), np.float32)
+    times = (np.arange(T, dtype=np.float32) * 5.0)[None].repeat(B, 0)
+    engine.run_plugin(rgb, query, target, frame_times=times)
+    assert seen['ft'] is not None and seen['ft'].shape == (B, T)
+
+    engine_off = InferenceEngine(params, cfg, LossConfig(), num_queries=1)
+    engine_off.run_plugin(rgb, query, target, frame_times=times)
+    assert seen['ft'] is None
+
+
 def test_rope_time_coords_requires_rope():
     from tcow_tpu.models.mask_tracker import seeker_config_from_args
     cfg = seeker_config_from_args({'rope_time_coords': 1, 'network_depth': 12})
