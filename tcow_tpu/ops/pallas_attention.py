@@ -63,9 +63,9 @@ def attention_ref(x, qkv_w, qkv_b, proj_w, proj_b, num_heads: int, causal_attent
 
 
 def _kernel(x_ref, qkv_w_ref, qkv_b_ref, proj_w_ref, proj_b_ref, out_ref,
-            qkv_out_ref=None, probs_out_ref=None, attn_out_ref=None, pos_ref=None, *,
-            num_heads: int, causal_attention: int, seq_len: int, pack: int,
-            rope: bool = False):
+            qkv_out_ref=None, probs_out_ref=None, attn_out_ref=None, cos_ref=None,
+            sin_ref=None, *, num_heads: int, causal_attention: int, seq_len: int,
+            pack: int, rope: bool = False):
     '''Grid cell: a group of G whole sequences. Shapes (G, S_pad, D) in VMEM.
 
     `pack` sequences share one score matmul with a block-diagonal mask: short sequences
@@ -96,9 +96,12 @@ def _kernel(x_ref, qkv_w_ref, qkv_b_ref, proj_w_ref, proj_b_ref, out_ref,
 
     qkv_p = qkv.reshape(G // P, SP, 3 * D)
     if rope:
-        # Time-calibrated positions when supplied; else compile-time row positions r % S.
-        rope_cs = (rope_lib.tables_from_positions(pos_ref[:].reshape(G // P, SP), dh)
-                   if pos_ref is not None else rope_lib.packed_tables(SP, S, dh))
+        # Time-calibrated tables are precomputed XLA-side and passed as (G/P, SP, dh/2)
+        # inputs — building them in-kernel from a (G, S_pad) pos ref needs a
+        # sublane->lane reshape that Mosaic rejects ("unsupported shape cast").
+        # Without per-example positions: compile-time row positions r % S.
+        rope_cs = ((cos_ref[:], sin_ref[:]) if cos_ref is not None
+                   else rope_lib.packed_tables(SP, S, dh))
     else:
         rope_cs = None
     outs = []
@@ -210,6 +213,22 @@ def _pad_pos(pos, B_pad, S_pad):
     return pos.astype(jnp.float32)
 
 
+def _pos_tables(pos, B_pad, S_pad, pack, dh):
+    '''XLA-side cos/sin rope tables, (B_pad/pack, SP, dh/2), already in the kernel's
+    packed row layout. Precomputed outside the kernel: the (G, S_pad) -> (G/pack, SP)
+    reshape merges the sublane axis into lanes, which Mosaic cannot lower in-kernel
+    (observed: "tpu.reshape vector<16x16xf32> -> vector<2x128x1xf32> unsupported shape
+    cast" on v5e). Padded slots get position 0 -> identity rotation; they are masked.'''
+    posp = _pad_pos(pos, B_pad, S_pad).reshape(B_pad // pack, S_pad * pack)
+    return rope_lib.tables_from_positions(posp, dh)
+
+
+def _table_in_specs(G, pack, SP, dh):
+    spec = pl.BlockSpec((G // pack, SP, dh // 2), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return [spec, spec]
+
+
 def _fused_attention_fwd_impl(x, qkv_w, qkv_b, proj_w, proj_b, num_heads,
                               causal_attention, interpret: bool = False,
                               want_residuals: bool = True, rope: bool = False,
@@ -223,9 +242,8 @@ def _fused_attention_fwd_impl(x, qkv_w, qkv_b, proj_w, proj_b, num_heads,
     inputs = [xp, qkv_w, qkv_b, proj_w, proj_b]
     in_specs = _weight_in_specs(G, S_pad, D)
     if pos is not None:
-        inputs.append(_pad_pos(pos, B_pad, S_pad))
-        in_specs = in_specs + [pl.BlockSpec((G, S_pad), lambda i: (i, 0),
-                                            memory_space=pltpu.VMEM)]
+        inputs.extend(_pos_tables(pos, B_pad, S_pad, pack, D // num_heads))
+        in_specs = in_specs + _table_in_specs(G, pack, SP, D // num_heads)
 
     kernel = functools.partial(_kernel, num_heads=num_heads,
                                causal_attention=causal_attention, seq_len=S,
@@ -233,13 +251,14 @@ def _fused_attention_fwd_impl(x, qkv_w, qkv_b, proj_w, proj_b, num_heads,
 
     def bind(out_names):
         '''Adapter: pallas passes refs positionally (inputs then outputs); _kernel wants
-        the optional pos input and the optional residual outputs as keywords.'''
+        the optional rope-table inputs and the optional residual outputs as keywords.'''
         def wrapped(x_ref, qw, qb, pw, pb, *rest):
             rest = list(rest)
-            pos_ref = rest.pop(0) if pos is not None else None
+            cos_ref = rest.pop(0) if pos is not None else None
+            sin_ref = rest.pop(0) if pos is not None else None
             out_ref = rest.pop(0)
             kw = dict(zip(out_names, rest))
-            kernel(x_ref, qw, qb, pw, pb, out_ref, pos_ref=pos_ref, **kw)
+            kernel(x_ref, qw, qb, pw, pb, out_ref, cos_ref=cos_ref, sin_ref=sin_ref, **kw)
         return wrapped
 
     if want_residuals == 'qkv':
@@ -429,7 +448,8 @@ def _bwd_kernel(x_ref, g_ref, qkv_w_ref, qkv_b_ref, proj_w_ref, *rest,
                 num_heads: int, causal_attention: int, seq_len: int, pack: int,
                 has_qkv: bool, has_pos: bool = False, rope: bool = False):
     rest = list(rest)
-    pos_ref = rest.pop(0) if has_pos else None
+    cos_ref = rest.pop(0) if has_pos else None
+    sin_ref = rest.pop(0) if has_pos else None
     qkv_ref = rest.pop(0) if has_qkv else None
     dqkv_ref, attn_ref = rest
     G, S, D = x_ref.shape
@@ -464,8 +484,9 @@ def _bwd_kernel(x_ref, g_ref, qkv_w_ref, qkv_b_ref, proj_w_ref, *rest,
     dattn = dattn.reshape(G // P, SP, D)
 
     if rope:
-        rope_cs = (rope_lib.tables_from_positions(pos_ref[:].reshape(G // P, SP), dh)
-                   if pos_ref is not None else rope_lib.packed_tables(SP, S, dh))
+        # Precomputed XLA-side tables (see _pos_tables) or compile-time row positions.
+        rope_cs = ((cos_ref[:], sin_ref[:]) if cos_ref is not None
+                   else rope_lib.packed_tables(SP, S, dh))
     else:
         rope_cs = None
     attn_parts, dq_parts, dk_parts, dv_parts = [], [], [], []
@@ -532,9 +553,8 @@ def _fused_attention_bwd_impl(x, g, qkv_w, qkv_b, proj_w, qkv, num_heads,
         pl.BlockSpec((D, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
     ]
     if pos is not None:
-        inputs.append(_pad_pos(pos, B_pad, S_pad))
-        in_specs.append(pl.BlockSpec((G, S_pad), lambda i: (i, 0),
-                                     memory_space=pltpu.VMEM))
+        inputs.extend(_pos_tables(pos, B_pad, S_pad, pack, D // num_heads))
+        in_specs.extend(_table_in_specs(G, pack, SP, D // num_heads))
     if qkv is not None:
         assert qkv.shape == (B_pad, S_pad, 3 * D), (qkv.shape, (B_pad, S_pad, 3 * D))
         inputs.append(qkv)

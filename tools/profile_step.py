@@ -41,6 +41,11 @@ def sync_time(fn, n=8, warmup=2):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument('--what', default='ablate')
+    p.add_argument('--rope', action='store_true', help='temporal_rope variant')
+    p.add_argument('--rope_coords', action='store_true',
+                   help='time-calibrated rope variant (implies --rope): per-sequence '
+                        'frame_times drive the rotary tables, exercising the XLA-side '
+                        'table precompute + extra kernel inputs')
     args = p.parse_args()
 
     # Match bench.py's flagship configuration (fused pallas attention + in-kernel backward)
@@ -49,10 +54,16 @@ def main():
                           causal_attention=1, drop_path_rate=0.1, network_depth=12,
                           compute_dtype=jnp.bfloat16, remat=True,
                           remat_policy='dots_nb_out', use_pallas_attention=True,
-                          attention_bwd='kernel_x')
+                          attention_bwd='kernel_x',
+                          temporal_rope=args.rope or args.rope_coords,
+                          rope_time_coords=args.rope_coords)
     params = mask_tracker.init_params(jax.random.key(0), seeker)
     batch_np = synthetic_device_batch(0, B=B, Q=Q, T=T, H=H, W=W, M=M, K=8)
     batch = {k: jax.device_put(jnp.asarray(v)) for k, v in batch_np.items()}
+    if args.rope_coords:
+        # Strided true timestamps, one clock per example (matches the batch schema).
+        batch['frame_times'] = jax.device_put(
+            jnp.broadcast_to(jnp.arange(T, dtype=jnp.float32) * 2.0, (B, T)))
     rgb_q = jnp.broadcast_to(batch['rgb'][:, None], (B, Q, 3, T, H, W)).reshape(B * Q, 3, T, H, W)
     qm = jnp.zeros((B * Q, 1, T, H, W))
 
