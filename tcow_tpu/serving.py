@@ -1,0 +1,320 @@
+'''
+Online tracking service: a TCP server that drives the streaming seeker
+(tcow_tpu/models/streaming.py) for many concurrent client sessions on one device.
+
+This is a deployment capability the reference does not have (it can only score fixed-T
+clips offline via eval/test.py, SURVEY.md section 5.7): clients open a session, send a
+query mask once, then stream RGB frames and receive per-frame snitch/occluder/container
+mask logits + flags with O(window) state held on the device. Sessions are independent
+StreamStates; all sessions share one jitted `stream_step` per (window, pinned) geometry,
+so a new session never recompiles. Device access is serialized by a lock (one chip), and
+per-frame latency is the streaming path's measured 2-5 ms/frame (BASELINE.md), so a single
+v5e chip sustains hundreds of tracked streams at video rate.
+
+Wire protocol (stdlib-only, length-prefixed):
+  frame := uint32_be header_len | uint32_be payload_len | header JSON | payload bytes
+  client -> server commands:
+    {"cmd": "open", "window": W}              W=0: unbounded cache of "max_frames" slots
+    {"cmd": "frame", "has_query": bool}       payload: rgb uint8 (H,W,3) [+ query uint8 (H,W)]
+    {"cmd": "stats"} | {"cmd": "close"}
+  server -> client replies:
+    open  -> {"ok", "session", "height", "width", "mask_channels", "flag_channels"}
+    frame -> {"ok", "t", "flags": [..]|null}  payload: mask logits float16 (C,H,W)
+    any error -> {"ok": false, "error": msg}  (the session stays usable unless the socket died)
+'''
+
+import json
+import socket
+import struct
+import threading
+import time
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+_HDR = struct.Struct('>II')
+_MAX_HEADER = 1 << 20
+_MAX_PAYLOAD = 1 << 28
+
+
+def send_msg(sock: socket.socket, header: Dict[str, Any], payload: bytes = b'') -> None:
+    h = json.dumps(header).encode('utf-8')
+    sock.sendall(_HDR.pack(len(h), len(payload)) + h + payload)
+
+
+def _recvall(sock: socket.socket, n: int) -> Optional[bytes]:
+    buf = bytearray()
+    while len(buf) < n:
+        chunk = sock.recv(min(n - len(buf), 1 << 20))
+        if not chunk:
+            return None
+        buf += chunk
+    return bytes(buf)
+
+
+def recv_msg(sock: socket.socket) -> Optional[Tuple[Dict[str, Any], bytes]]:
+    '''Returns (header, payload) or None on clean EOF.'''
+    raw = _recvall(sock, _HDR.size)
+    if raw is None:
+        return None
+    hlen, plen = _HDR.unpack(raw)
+    if hlen > _MAX_HEADER or plen > _MAX_PAYLOAD:
+        raise ValueError(f'oversized message: header {hlen}, payload {plen}')
+    h = _recvall(sock, hlen)
+    p = _recvall(sock, plen) if plen else b''
+    if h is None or p is None:
+        raise ConnectionError('peer closed mid-message')
+    return json.loads(h.decode('utf-8')), p
+
+
+class _Session:
+    def __init__(self, sid: int, state, step_fn, capacity: Optional[int]):
+        self.sid = sid
+        self.state = state
+        self.step_fn = step_fn
+        self.capacity = capacity   # None = windowed (any length)
+        self.t = 0
+
+
+class TrackerServer:
+    '''Serves streaming tracking sessions over TCP.
+
+    :param params: seeker params pytree (device-resident copies are made once).
+    :param cfg: mask_tracker.SeekerConfig (must have causal_attention == 1).
+    :param port: 0 picks an ephemeral port (see .address after start()).
+    :param default_max_frames: cache slots for unbounded (window=0) sessions.
+    '''
+
+    def __init__(self, params, cfg, host: str = '127.0.0.1', port: int = 0,
+                 default_max_frames: Optional[int] = None):
+        import jax
+        from tcow_tpu.models import streaming
+        assert cfg.causal_attention == 1, 'serving requires causal_attention == 1'
+        self._jax = jax
+        self._streaming = streaming
+        self.cfg = cfg
+        self.params = jax.device_put(params)
+        self._host, self._port = host, port
+        self.default_max_frames = default_max_frames or cfg.num_total_frames
+        self._step_cache: Dict[Tuple[Optional[int], int], Any] = {}
+        self._device_lock = threading.Lock()
+        self._sessions_lock = threading.Lock()
+        self._next_sid = 0
+        self._active_sessions = 0
+        self._frames_served = 0
+        self._ema_ms: Optional[float] = None
+        self._sock: Optional[socket.socket] = None
+        self._accept_thread: Optional[threading.Thread] = None
+        self._conn_threads = []
+        self._stopping = threading.Event()
+
+    # -- lifecycle ------------------------------------------------------------
+
+    def start(self) -> Tuple[str, int]:
+        self._sock = socket.create_server((self._host, self._port))
+        self._sock.settimeout(0.25)
+        self._accept_thread = threading.Thread(target=self._accept_loop,
+                                               name='tracker-accept', daemon=True)
+        self._accept_thread.start()
+        return self.address
+
+    @property
+    def address(self) -> Tuple[str, int]:
+        assert self._sock is not None, 'server not started'
+        return self._sock.getsockname()[:2]
+
+    def stop(self) -> None:
+        self._stopping.set()
+        if self._accept_thread is not None:
+            self._accept_thread.join(timeout=5)
+        if self._sock is not None:
+            self._sock.close()
+        for t in list(self._conn_threads):
+            t.join(timeout=5)
+
+    def _accept_loop(self) -> None:
+        while not self._stopping.is_set():
+            try:
+                conn, _ = self._sock.accept()
+            except socket.timeout:
+                continue
+            except OSError:
+                break
+            t = threading.Thread(target=self._serve_conn, args=(conn,),
+                                 name='tracker-conn', daemon=True)
+            t.start()
+            self._conn_threads.append(t)
+
+    # -- model plumbing -------------------------------------------------------
+
+    def _get_step_fn(self, window: Optional[int], pinned: int):
+        key = (window, pinned)
+        if key not in self._step_cache:
+            jax, cfg = self._jax, self.cfg
+            stream_step = self._streaming.stream_step
+            self._step_cache[key] = jax.jit(
+                lambda p, s, f, q: stream_step(p, cfg, s, f, q, window=window,
+                                               pinned_frames=pinned),
+                donate_argnums=(1,))
+        return self._step_cache[key]
+
+    def _open_session(self, header: Dict[str, Any]) -> _Session:
+        window = int(header.get('window', 0)) or None
+        pinned = int(header.get('pinned_frames', 1))
+        max_frames = int(header.get('max_frames', 0)) or self.default_max_frames
+        state = self._streaming.init_stream(
+            self.params, self.cfg, batch_size=1,
+            max_frames=None if window else max_frames, window=window,
+            pinned_frames=pinned)
+        with self._sessions_lock:
+            sid = self._next_sid
+            self._next_sid += 1
+            self._active_sessions += 1
+        return _Session(sid, state, self._get_step_fn(window, pinned),
+                        capacity=None if window else max_frames)
+
+    def _run_frame(self, sess: _Session, rgb: np.ndarray, qmask: np.ndarray):
+        import jax.numpy as jnp
+        t0 = time.time()
+        with self._device_lock:
+            state, mask_logits, flags = sess.step_fn(
+                self.params, sess.state, jnp.asarray(rgb), jnp.asarray(qmask))
+            sess.state = state
+            mask_np = np.asarray(mask_logits[0], np.float16)
+            flags_np = None if flags is None else np.asarray(flags[0], np.float32)
+        dt_ms = (time.time() - t0) * 1e3
+        with self._sessions_lock:
+            self._frames_served += 1
+            self._ema_ms = dt_ms if self._ema_ms is None else \
+                0.9 * self._ema_ms + 0.1 * dt_ms
+        return mask_np, flags_np
+
+    # -- connection handling ---------------------------------------------------
+
+    def _serve_conn(self, conn: socket.socket) -> None:
+        cfg = self.cfg
+        H, W = cfg.frame_height, cfg.frame_width
+        sess: Optional[_Session] = None
+        try:
+            while not self._stopping.is_set():
+                msg = recv_msg(conn)
+                if msg is None:
+                    break
+                header, payload = msg
+                cmd = header.get('cmd')
+                try:
+                    if cmd == 'open':
+                        if sess is not None:
+                            raise ValueError('session already open on this connection')
+                        sess = self._open_session(header)
+                        send_msg(conn, {'ok': True, 'session': sess.sid,
+                                        'height': H, 'width': W,
+                                        'mask_channels': cfg.output_channels,
+                                        'flag_channels': cfg.flag_channels})
+                    elif cmd == 'frame':
+                        if sess is None:
+                            raise ValueError('open a session first')
+                        if sess.capacity is not None and sess.t >= sess.capacity:
+                            raise ValueError(
+                                f'unbounded session is full at {sess.capacity} frames; '
+                                f'open with "window" for arbitrary-length streams')
+                        nrgb = H * W * 3
+                        has_q = bool(header.get('has_query', False))
+                        want = nrgb + (H * W if has_q else 0)
+                        if len(payload) != want:
+                            raise ValueError(f'payload is {len(payload)} bytes, '
+                                             f'expected {want}')
+                        rgb = np.frombuffer(payload, np.uint8, count=nrgb)
+                        rgb = rgb.reshape(H, W, 3).transpose(2, 0, 1)[None]
+                        rgb = rgb.astype(np.float32) / 255.0
+                        if has_q:
+                            q = np.frombuffer(payload, np.uint8, offset=nrgb)
+                            q = (q.reshape(H, W) > 127).astype(np.float32)[None, None]
+                        else:
+                            q = np.zeros((1, 1, H, W), np.float32)
+                        mask_np, flags_np = self._run_frame(sess, rgb, q)
+                        send_msg(conn, {'ok': True, 't': sess.t,
+                                        'flags': None if flags_np is None
+                                        else [float(f) for f in flags_np]},
+                                 mask_np.tobytes())
+                        sess.t += 1
+                    elif cmd == 'stats':
+                        with self._sessions_lock:
+                            send_msg(conn, {'ok': True,
+                                            'active_sessions': self._active_sessions,
+                                            'frames_served': self._frames_served,
+                                            'ms_per_frame_ema': self._ema_ms})
+                    elif cmd == 'close':
+                        send_msg(conn, {'ok': True})
+                        break
+                    else:
+                        raise ValueError(f'unknown cmd {cmd!r}')
+                except (ValueError, AssertionError) as e:
+                    # Application errors keep the connection alive.
+                    send_msg(conn, {'ok': False, 'error': str(e)})
+        except (ConnectionError, OSError):
+            pass  # peer vanished; just clean up
+        finally:
+            if sess is not None:
+                with self._sessions_lock:
+                    self._active_sessions -= 1
+            conn.close()
+
+
+class TrackerClient:
+    '''Minimal blocking client for TrackerServer (one session per connection).'''
+
+    def __init__(self, host: str, port: int, timeout: float = 120.0):
+        self._sock = socket.create_connection((host, port), timeout=timeout)
+        self.meta: Optional[Dict[str, Any]] = None
+
+    def _rpc(self, header: Dict[str, Any], payload: bytes = b''):
+        send_msg(self._sock, header, payload)
+        msg = recv_msg(self._sock)
+        if msg is None:
+            raise ConnectionError('server closed the connection')
+        reply, rpayload = msg
+        if not reply.get('ok'):
+            raise RuntimeError(f'server error: {reply.get("error")}')
+        return reply, rpayload
+
+    def open(self, window: int = 0, max_frames: int = 0,
+             pinned_frames: int = 1) -> Dict[str, Any]:
+        self.meta, _ = self._rpc({'cmd': 'open', 'window': window,
+                                  'max_frames': max_frames,
+                                  'pinned_frames': pinned_frames})
+        return self.meta
+
+    def track(self, rgb_uint8: np.ndarray, query_mask: Optional[np.ndarray] = None):
+        '''rgb_uint8 (H, W, 3) uint8 at the server's resolution; query_mask (H, W)
+        uint8/bool at the query frame. Returns (mask_logits (C, H, W) float16,
+        flags list|None, t).'''
+        if self.meta is None:
+            # No local session metadata: forward as-is and let the server reject
+            # ("open a session first") so misuse surfaces as a server error.
+            self._rpc({'cmd': 'frame', 'has_query': query_mask is not None},
+                      rgb_uint8.tobytes())
+            raise AssertionError('unreachable: server accepted frame without open')
+        H, W = self.meta['height'], self.meta['width']
+        assert rgb_uint8.shape == (H, W, 3) and rgb_uint8.dtype == np.uint8, \
+            (rgb_uint8.shape, rgb_uint8.dtype)
+        payload = rgb_uint8.tobytes()
+        has_q = query_mask is not None
+        if has_q:
+            qm = (np.asarray(query_mask) > 0).astype(np.uint8) * 255
+            assert qm.shape == (H, W), qm.shape
+            payload += qm.tobytes()
+        reply, rpayload = self._rpc({'cmd': 'frame', 'has_query': has_q}, payload)
+        C = self.meta['mask_channels']
+        mask = np.frombuffer(rpayload, np.float16).reshape(C, H, W)
+        return mask, reply.get('flags'), reply['t']
+
+    def stats(self) -> Dict[str, Any]:
+        return self._rpc({'cmd': 'stats'})[0]
+
+    def close(self) -> None:
+        try:
+            self._rpc({'cmd': 'close'})
+        except Exception:
+            pass
+        self._sock.close()

@@ -1,0 +1,123 @@
+'''
+The serving layer must hand back EXACTLY what the streaming model computes: a client
+session's per-frame mask logits (float16 on the wire) and flags must match a direct
+stream_step run on the same inputs, with concurrent sessions fully isolated.
+'''
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+import conftest  # noqa: F401
+from tcow_tpu.models import mask_tracker as mt
+from tcow_tpu.models import streaming
+from tcow_tpu import serving
+
+
+@pytest.fixture(scope='module')
+def setup():
+    from tcow_tpu.models import timesformer as tsf
+    old = dict(tsf.DEPTH_PRESETS)
+    tsf.DEPTH_PRESETS[3] = (48, 4)
+    cfg = mt.SeekerConfig(num_total_frames=6, frame_height=32, frame_width=48,
+                          causal_attention=1, drop_path_rate=0.0, network_depth=3)
+    params = mt.init_params(jax.random.key(0), cfg)
+    params['backbone']['blocks']['temporal_fc']['w'] = jax.random.normal(
+        jax.random.key(7), params['backbone']['blocks']['temporal_fc']['w'].shape) * 0.05
+    server = serving.TrackerServer(params, cfg, port=0)
+    host, port = server.start()
+    yield cfg, params, host, port
+    server.stop()
+    tsf.DEPTH_PRESETS.clear()
+    tsf.DEPTH_PRESETS.update(old)
+
+
+def _frames(seed, T, H, W):
+    rng = np.random.RandomState(seed)
+    rgb = rng.randint(0, 256, size=(T, H, W, 3), dtype=np.uint8)
+    q = np.zeros((H, W), np.uint8)
+    q[8:16, 8:24] = 255
+    return rgb, q
+
+
+def _reference_stream(params, cfg, rgb_u8, qmask, window=None):
+    state = streaming.init_stream(params, cfg, batch_size=1,
+                                  max_frames=None if window else rgb_u8.shape[0],
+                                  window=window)
+    # Jitted exactly like the server's step so outputs are bit-identical.
+    step = jax.jit(lambda p, s, f, q: streaming.stream_step(p, cfg, s, f, q,
+                                                            window=window))
+    masks, flags = [], []
+    for t in range(rgb_u8.shape[0]):
+        f = jnp.asarray(rgb_u8[t].transpose(2, 0, 1)[None].astype(np.float32) / 255.0)
+        q = (qmask > 127).astype(np.float32)[None, None] if t == 0 else \
+            np.zeros((1, 1) + qmask.shape, np.float32)
+        state, m, fl = step(params, state, f, jnp.asarray(q))
+        masks.append(np.asarray(m[0], np.float16))   # server replies in float16
+        flags.append(None if fl is None else np.asarray(fl[0], np.float32))
+    return masks, flags
+
+
+def test_two_interleaved_sessions_match_direct_streaming(setup):
+    cfg, params, host, port = setup
+    T, H, W = 5, cfg.frame_height, cfg.frame_width
+    rgb_a, q_a = _frames(1, T, H, W)
+    rgb_b, q_b = _frames(2, T, H, W)
+    ref_a = _reference_stream(params, cfg, rgb_a, q_a, window=4)
+    ref_b = _reference_stream(params, cfg, rgb_b, q_b, window=None)
+
+    ca = serving.TrackerClient(host, port)
+    cb = serving.TrackerClient(host, port)
+    meta = ca.open(window=4)
+    assert (meta['height'], meta['width']) == (H, W)
+    assert meta['mask_channels'] == cfg.output_channels
+    cb.open(window=0, max_frames=T)
+
+    # Interleave the two sessions frame by frame: states must not cross-contaminate.
+    for t in range(T):
+        ma, fa, ta = ca.track(rgb_a[t], query_mask=q_a if t == 0 else None)
+        mb, fb, tb = cb.track(rgb_b[t], query_mask=q_b if t == 0 else None)
+        assert ta == t and tb == t
+        np.testing.assert_array_equal(ma, ref_a[0][t])
+        np.testing.assert_array_equal(mb, ref_b[0][t])
+        if ref_a[1][t] is not None:
+            np.testing.assert_allclose(np.asarray(fa, np.float32), ref_a[1][t],
+                                       rtol=1e-5, atol=1e-6)
+
+    stats = ca.stats()
+    assert stats['active_sessions'] == 2
+    assert stats['frames_served'] >= 2 * T
+    assert stats['ms_per_frame_ema'] > 0
+    ca.close()
+    cb.close()
+
+
+def test_unbounded_session_rejects_overflow_and_stays_alive(setup):
+    cfg, params, host, port = setup
+    H, W = cfg.frame_height, cfg.frame_width
+    rgb, q = _frames(3, 3, H, W)
+    c = serving.TrackerClient(host, port)
+    c.open(window=0, max_frames=2)
+    c.track(rgb[0], query_mask=q)
+    c.track(rgb[1])
+    with pytest.raises(RuntimeError, match='full at 2 frames'):
+        c.track(rgb[2])
+    # Application errors must not kill the connection.
+    assert c.stats()['frames_served'] >= 2
+    c.close()
+
+
+def test_protocol_errors_are_reported(setup):
+    cfg, params, host, port = setup
+    c = serving.TrackerClient(host, port)
+    with pytest.raises(RuntimeError, match='open a session first'):
+        c.track(np.zeros((cfg.frame_height, cfg.frame_width, 3), np.uint8))
+    c.open(window=4)
+    with pytest.raises(RuntimeError, match='already open'):
+        c.open(window=4)
+    # Bad payload size.
+    serving.send_msg(c._sock, {'cmd': 'frame', 'has_query': False}, b'abc')
+    reply, _ = serving.recv_msg(c._sock)
+    assert not reply['ok'] and 'payload' in reply['error']
+    c.close()
