@@ -11,6 +11,12 @@ so a new session never recompiles. Device access is serialized by a lock (one ch
 per-frame latency is the streaming path's measured 2-5 ms/frame (BASELINE.md), so a single
 v5e chip sustains hundreds of tracked streams at video rate.
 
+With `batch_slots > 1` the server runs CONTINUOUS BATCHING: same-geometry sessions become
+slots of one multi-session state (streaming.stream_step_multi, per-example stream
+positions) and a dispatcher folds all pending frames into ONE batched device step, so the
+fixed per-step dispatch/host-sync cost — which dominates B=1 streaming steps — amortizes
+over every active session.
+
 Wire protocol (stdlib-only, length-prefixed):
   frame := uint32_be header_len | uint32_be payload_len | header JSON | payload bytes
   client -> server commands:
@@ -68,12 +74,155 @@ def recv_msg(sock: socket.socket) -> Optional[Tuple[Dict[str, Any], bytes]]:
 
 
 class _Session:
-    def __init__(self, sid: int, state, step_fn, capacity: Optional[int]):
+    def __init__(self, sid: int, state, step_fn, capacity: Optional[int],
+                 group: Optional['_BatchGroup'] = None, slot: int = -1):
         self.sid = sid
-        self.state = state
+        self.state = state         # dedicated mode only (None when batched)
         self.step_fn = step_fn
         self.capacity = capacity   # None = windowed (any length)
+        self.group = group         # batched mode: continuous-batching group + slot
+        self.slot = slot
         self.t = 0
+
+
+class _FrameBox:
+    '''One pending frame request inside a batch group.'''
+
+    def __init__(self, rgb: np.ndarray, qmask: np.ndarray):
+        self.rgb = rgb
+        self.qmask = qmask
+        self.done = threading.Event()
+        self.mask: Optional[np.ndarray] = None
+        self.flags: Optional[np.ndarray] = None
+        self.error: Optional[BaseException] = None
+
+
+class _BatchGroup:
+    '''Continuous batching: all sessions sharing one (window, pinned, cache-size) geometry
+    live as slots of ONE multi-session StreamState (streaming.stream_step_multi), and a
+    dispatcher thread folds every pending frame request into a single batched device step.
+    Sessions sit at different stream positions (per-example t); whoever has a frame pending
+    when a step launches rides it, everyone else catches the next one — so the per-step
+    dispatch/host-sync overhead (dominant for B=1 steps, and ~50 ms over a relay link)
+    amortizes over the whole active session set.'''
+
+    def __init__(self, server: 'TrackerServer', window: Optional[int], pinned: int,
+                 tmax: int, slots: int):
+        jax, streaming = server._jax, server._streaming
+        self.server = server
+        self.window, self.pinned, self.tmax, self.slots = window, pinned, tmax, slots
+        cfg = server.cfg
+        with server._device_lock:
+            self.state = streaming.init_stream_multi(
+                server.params, cfg, batch_size=slots,
+                max_frames=None if window else tmax, window=window,
+                pinned_frames=pinned)
+        jnp = jax.numpy
+
+        def _step_from_u8(p, s, f_u8, q_u8, a):
+            # uint8 on the wire AND on the host->device path (4x less transfer than f32,
+            # which dominates per-step cost on slow links); normalize on device exactly
+            # like the dedicated path's host-side conversion. Masks leave the device
+            # already in the wire dtype (float16: halves the download).
+            f = f_u8.astype(jnp.float32) / 255.0
+            q = (q_u8 > 127).astype(jnp.float32)
+            s, mask, flags = streaming.stream_step_multi(p, cfg, s, f, q, a,
+                                                         window=window,
+                                                         pinned_frames=pinned)
+            return s, mask.astype(jnp.float16), flags
+
+        self.step_fn = jax.jit(_step_from_u8, donate_argnums=(1,))
+        self.reset_fn = jax.jit(streaming.reset_stream_slot, static_argnums=(1,),
+                                donate_argnums=(0,))
+        self.free = list(range(slots))
+        self.pending: Dict[int, _FrameBox] = {}
+        self.cond = threading.Condition()
+        self.steps = 0
+        self.frames = 0
+        self.step_ms = 0.0
+        self._ema_step_ms: Optional[float] = None
+        self._thread = threading.Thread(target=self._dispatch_loop,
+                                        name='tracker-batch', daemon=True)
+        self._thread.start()
+
+    def alloc_slot(self) -> int:
+        with self.cond:
+            if not self.free:
+                raise ValueError(f'batch group full ({self.slots} sessions for '
+                                 f'window={self.window or 0}); retry later')
+            slot = self.free.pop()
+        with self.server._device_lock:
+            self.state = self.reset_fn(self.state, slot)
+        return slot
+
+    def release_slot(self, slot: int) -> None:
+        with self.cond:
+            self.free.append(slot)
+            self.pending.pop(slot, None)
+
+    def submit(self, slot: int, rgb: np.ndarray, qmask: np.ndarray) -> _FrameBox:
+        box = _FrameBox(rgb, qmask)
+        with self.cond:
+            assert slot not in self.pending, 'one in-flight frame per session'
+            self.pending[slot] = box
+            self.cond.notify()
+        return box
+
+    def _dispatch_loop(self) -> None:
+        np_ = np
+        H, W = self.server.cfg.frame_height, self.server.cfg.frame_width
+        jnp = self.server._jax.numpy
+        while not self.server._stopping.is_set():
+            with self.cond:
+                if not self.pending:
+                    self.cond.wait(timeout=0.25)
+                if self.pending:
+                    # Adaptive batching window: requests arrive skewed (clients unblock
+                    # at slightly different times), so grab-immediately runs half-full
+                    # batches. Waiting a small fraction of the step time for stragglers
+                    # costs little latency and doubles occupancy; bounded so an idle or
+                    # slow session never stalls the batch.
+                    wait_s = min(0.05, (self._ema_step_ms or 0.0) * 1.5e-4)
+                    deadline = time.time() + wait_s
+                    while len(self.pending) < self.slots - len(self.free):
+                        rem = deadline - time.time()
+                        if rem <= 0:
+                            break
+                        self.cond.wait(rem)
+                batch = dict(self.pending)
+                self.pending.clear()
+            if not batch:
+                continue
+            frames = np_.zeros((self.slots, 3, H, W), np_.uint8)
+            queries = np_.zeros((self.slots, 1, H, W), np_.uint8)
+            active = np_.zeros((self.slots,), bool)
+            for slot, box in batch.items():
+                frames[slot] = box.rgb[0]
+                queries[slot] = box.qmask[0]
+                active[slot] = True
+            try:
+                t0 = time.time()
+                with self.server._device_lock:
+                    self.state, masks, flags = self.step_fn(
+                        self.server.params, self.state, jnp.asarray(frames),
+                        jnp.asarray(queries), jnp.asarray(active))
+                    masks_np = np_.asarray(masks, np_.float16)
+                    flags_np = None if flags is None else np_.asarray(flags, np_.float32)
+                dt_ms = (time.time() - t0) * 1e3
+                self.steps += 1
+                self.frames += len(batch)
+                self.step_ms += dt_ms
+                self._ema_step_ms = dt_ms if self._ema_step_ms is None else \
+                    0.8 * self._ema_step_ms + 0.2 * dt_ms
+                for slot, box in batch.items():
+                    box.mask = masks_np[slot]
+                    box.flags = None if flags_np is None else flags_np[slot]
+            except BaseException as e:   # noqa: BLE001 — surfaced per-request
+                for box in batch.values():
+                    box.error = e
+            finally:
+                for box in batch.values():
+                    box.done.set()
 
 
 class TrackerServer:
@@ -83,19 +232,28 @@ class TrackerServer:
     :param cfg: mask_tracker.SeekerConfig (must have causal_attention == 1).
     :param port: 0 picks an ephemeral port (see .address after start()).
     :param default_max_frames: cache slots for unbounded (window=0) sessions.
+    :param batch_slots: >1 turns on continuous batching — sessions with the same
+        (window, pinned, cache-size) geometry share one multi-session state of this many
+        slots and every device step serves ALL their pending frames at once (the per-step
+        dispatch overhead amortizes over the active sessions). 1 = one dedicated B=1
+        state + step per session (bit-identical to direct stream_step).
     '''
 
     def __init__(self, params, cfg, host: str = '127.0.0.1', port: int = 0,
-                 default_max_frames: Optional[int] = None):
+                 default_max_frames: Optional[int] = None, batch_slots: int = 1):
         import jax
         from tcow_tpu.models import streaming
         assert cfg.causal_attention == 1, 'serving requires causal_attention == 1'
+        assert batch_slots >= 1, batch_slots
         self._jax = jax
         self._streaming = streaming
         self.cfg = cfg
         self.params = jax.device_put(params)
         self._host, self._port = host, port
         self.default_max_frames = default_max_frames or cfg.num_total_frames
+        self.batch_slots = batch_slots
+        self._groups: Dict[Tuple[Optional[int], int, int], _BatchGroup] = {}
+        self._groups_lock = threading.Lock()
         self._step_cache: Dict[Tuple[Optional[int], int], Any] = {}
         self._device_lock = threading.Lock()
         self._sessions_lock = threading.Lock()
@@ -131,6 +289,12 @@ class TrackerServer:
             self._sock.close()
         for t in list(self._conn_threads):
             t.join(timeout=5)
+        with self._groups_lock:
+            groups = list(self._groups.values())
+        for g in groups:
+            with g.cond:
+                g.cond.notify_all()
+            g._thread.join(timeout=5)
 
     def _accept_loop(self) -> None:
         while not self._stopping.is_set():
@@ -151,17 +315,38 @@ class TrackerServer:
         key = (window, pinned)
         if key not in self._step_cache:
             jax, cfg = self._jax, self.cfg
+            jnp = jax.numpy
             stream_step = self._streaming.stream_step
-            self._step_cache[key] = jax.jit(
-                lambda p, s, f, q: stream_step(p, cfg, s, f, q, window=window,
-                                               pinned_frames=pinned),
-                donate_argnums=(1,))
+
+            def _step(p, s, f, q):
+                s, mask, flags = stream_step(p, cfg, s, f, q, window=window,
+                                             pinned_frames=pinned)
+                # float16 on device: halves the mask download, identical values to a
+                # host-side cast (IEEE round-to-nearest either way).
+                return s, mask.astype(jnp.float16), flags
+
+            self._step_cache[key] = jax.jit(_step, donate_argnums=(1,))
         return self._step_cache[key]
 
     def _open_session(self, header: Dict[str, Any]) -> _Session:
         window = int(header.get('window', 0)) or None
         pinned = int(header.get('pinned_frames', 1))
         max_frames = int(header.get('max_frames', 0)) or self.default_max_frames
+        capacity = None if window else max_frames
+        if self.batch_slots > 1:
+            tmax = window if window else max_frames
+            key = (window, pinned, tmax)
+            with self._groups_lock:
+                group = self._groups.get(key)
+                if group is None:
+                    group = self._groups[key] = _BatchGroup(
+                        self, window, pinned, tmax, self.batch_slots)
+            slot = group.alloc_slot()
+            with self._sessions_lock:
+                sid = self._next_sid
+                self._next_sid += 1
+                self._active_sessions += 1
+            return _Session(sid, None, None, capacity, group=group, slot=slot)
         state = self._streaming.init_stream(
             self.params, self.cfg, batch_size=1,
             max_frames=None if window else max_frames, window=window,
@@ -171,17 +356,27 @@ class TrackerServer:
             self._next_sid += 1
             self._active_sessions += 1
         return _Session(sid, state, self._get_step_fn(window, pinned),
-                        capacity=None if window else max_frames)
+                        capacity=capacity)
 
-    def _run_frame(self, sess: _Session, rgb: np.ndarray, qmask: np.ndarray):
+    def _run_frame(self, sess: _Session, rgb_u8: np.ndarray, qmask_u8: np.ndarray):
+        '''rgb_u8 (1, 3, H, W) uint8, qmask_u8 (1, 1, H, W) uint8 (0 when no query).'''
         import jax.numpy as jnp
         t0 = time.time()
-        with self._device_lock:
-            state, mask_logits, flags = sess.step_fn(
-                self.params, sess.state, jnp.asarray(rgb), jnp.asarray(qmask))
-            sess.state = state
-            mask_np = np.asarray(mask_logits[0], np.float16)
-            flags_np = None if flags is None else np.asarray(flags[0], np.float32)
+        if sess.group is not None:
+            box = sess.group.submit(sess.slot, rgb_u8, qmask_u8)
+            box.done.wait()
+            if box.error is not None:
+                raise box.error
+            mask_np, flags_np = box.mask, box.flags
+        else:
+            rgb = rgb_u8.astype(np.float32) / 255.0
+            qmask = (qmask_u8 > 127).astype(np.float32)
+            with self._device_lock:
+                state, mask_logits, flags = sess.step_fn(
+                    self.params, sess.state, jnp.asarray(rgb), jnp.asarray(qmask))
+                sess.state = state
+                mask_np = np.asarray(mask_logits[0], np.float16)
+                flags_np = None if flags is None else np.asarray(flags[0], np.float32)
         dt_ms = (time.time() - t0) * 1e3
         with self._sessions_lock:
             self._frames_served += 1
@@ -226,12 +421,11 @@ class TrackerServer:
                                              f'expected {want}')
                         rgb = np.frombuffer(payload, np.uint8, count=nrgb)
                         rgb = rgb.reshape(H, W, 3).transpose(2, 0, 1)[None]
-                        rgb = rgb.astype(np.float32) / 255.0
                         if has_q:
                             q = np.frombuffer(payload, np.uint8, offset=nrgb)
-                            q = (q.reshape(H, W) > 127).astype(np.float32)[None, None]
+                            q = q.reshape(H, W)[None, None]
                         else:
-                            q = np.zeros((1, 1, H, W), np.float32)
+                            q = np.zeros((1, 1, H, W), np.uint8)
                         mask_np, flags_np = self._run_frame(sess, rgb, q)
                         send_msg(conn, {'ok': True, 't': sess.t,
                                         'flags': None if flags_np is None
@@ -256,6 +450,8 @@ class TrackerServer:
             pass  # peer vanished; just clean up
         finally:
             if sess is not None:
+                if sess.group is not None:
+                    sess.group.release_slot(sess.slot)
                 with self._sessions_lock:
                     self._active_sessions -= 1
             conn.close()

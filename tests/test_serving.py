@@ -4,6 +4,9 @@ session's per-frame mask logits (float16 on the wire) and flags must match a dir
 stream_step run on the same inputs, with concurrent sessions fully isolated.
 '''
 
+import threading
+import time
+
 import numpy as np
 import pytest
 import jax
@@ -121,3 +124,88 @@ def test_protocol_errors_are_reported(setup):
     reply, _ = serving.recv_msg(c._sock)
     assert not reply['ok'] and 'payload' in reply['error']
     c.close()
+
+
+@pytest.fixture(scope='module')
+def batched_setup(setup):
+    cfg, params, _, _ = setup
+    server = serving.TrackerServer(params, cfg, port=0, batch_slots=3)
+    host, port = server.start()
+    yield cfg, params, host, port, server
+    server.stop()
+
+
+def test_batched_server_matches_direct_streaming(batched_setup):
+    '''Continuous batching must be transparent: concurrent staggered sessions through one
+    batched device step produce the same per-frame outputs as direct per-session streams
+    (same math batched, so allclose rather than the dedicated path's bit-equality).'''
+    cfg, params, host, port, server = batched_setup
+    T, H, W = 5, cfg.frame_height, cfg.frame_width
+    vids = [_frames(10 + k, T, H, W) for k in range(3)]
+    refs = [_reference_stream(params, cfg, rgb, q, window=4) for rgb, q in vids]
+
+    clients = [serving.TrackerClient(host, port) for _ in range(3)]
+    results = [[] for _ in range(3)]
+    errors = []
+
+    def run(k):
+        try:
+            clients[k].open(window=4)
+            rgb, q = vids[k]
+            time.sleep(0.05 * k)   # staggered starts: sessions at different positions
+            for t in range(T):
+                m, fl, tt = clients[k].track(rgb[t], query_mask=q if t == 0 else None)
+                assert tt == t
+                results[k].append((m, fl))
+        except BaseException as e:   # noqa: BLE001
+            errors.append((k, e))
+
+    threads = [threading.Thread(target=run, args=(k,)) for k in range(3)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=120)
+    assert not errors, errors
+
+    for k in range(3):
+        for t in range(T):
+            m, fl = results[k][t]
+            np.testing.assert_allclose(np.asarray(m, np.float32),
+                                       np.asarray(refs[k][0][t], np.float32),
+                                       rtol=2e-3, atol=2e-3)
+            if refs[k][1][t] is not None:
+                np.testing.assert_allclose(np.asarray(fl, np.float32), refs[k][1][t],
+                                           rtol=1e-3, atol=1e-4)
+    # All three sessions shared ONE batch group (same geometry).
+    assert len(server._groups) == 1
+    for c in clients:
+        c.close()
+
+
+def test_batched_slot_recycling_and_capacity(batched_setup):
+    '''A 4th same-geometry session must be rejected while 3 are live, and a recycled slot
+    must serve a fresh session correctly (stale cache from the previous occupant masked).'''
+    cfg, params, host, port, server = batched_setup
+    T, H, W = 3, cfg.frame_height, cfg.frame_width
+    rgb, q = _frames(42, T, H, W)
+    ref = _reference_stream(params, cfg, rgb, q, window=4)
+
+    holders = [serving.TrackerClient(host, port) for _ in range(3)]
+    for c in holders:
+        c.open(window=4)
+    extra = serving.TrackerClient(host, port)
+    with pytest.raises(RuntimeError, match='batch group full'):
+        extra.open(window=4)
+    holders[1].close()
+    time.sleep(0.3)   # let the server release the slot
+
+    fresh = serving.TrackerClient(host, port)
+    fresh.open(window=4)
+    for t in range(T):
+        m, _, _ = fresh.track(rgb[t], query_mask=q if t == 0 else None)
+        np.testing.assert_allclose(np.asarray(m, np.float32),
+                                   np.asarray(ref[0][t], np.float32),
+                                   rtol=2e-3, atol=2e-3)
+    fresh.close()
+    for c in (holders[0], holders[2]):
+        c.close()

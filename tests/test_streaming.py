@@ -136,3 +136,82 @@ def test_windowed_long_video_depends_only_on_receptive_field(setup):
     rgb_c[:, :, T_total - 1] = rng.rand(B, 3, H, W).astype(np.float32)
     m_c, _ = run(rgb_c)
     assert np.abs(m_c - m_a).max() > 1e-4
+
+
+def _multi_vs_single(cfg, params, window, rope=False):
+    '''3 sessions at staggered start times through one multi-session state must match
+    per-session single streams frame for frame; inactive/recycled slots must not leak.'''
+    import dataclasses
+    if rope:
+        cfg = dataclasses.replace(cfg, temporal_rope=True)
+    K, T, H, W = 3, 5, cfg.frame_height, cfg.frame_width
+    rng = np.random.RandomState(11 + int(bool(window)) + 2 * rope)
+    rgb = [jnp.asarray(rng.rand(1, 3, T, H, W), jnp.float32) for _ in range(K)]
+    q0 = jnp.zeros((1, 1, H, W)).at[:, :, 4:12, 8:20].set(1.0)
+    qz = jnp.zeros((1, 1, H, W))
+
+    # Per-session single-stream references.
+    step1 = jax.jit(lambda s, f, q: streaming.stream_step(params, cfg, s, f, q,
+                                                          window=window))
+    refs = []
+    for k in range(K):
+        s = streaming.init_stream(params, cfg, 1, max_frames=None if window else T,
+                                  window=window)
+        outs = []
+        for t in range(T):
+            s, m, fl = step1(s, rgb[k][:, :, t], q0 if t == 0 else qz)
+            outs.append((np.asarray(m[0]), None if fl is None else np.asarray(fl[0])))
+        refs.append(outs)
+
+    # Multi-session: session k starts at global tick k (staggered), so every step mixes
+    # sessions at different stream positions and some inactive slots.
+    stepK = jax.jit(lambda s, f, q, a: streaming.stream_step_multi(
+        params, cfg, s, f, q, a, window=window))
+    state = streaming.init_stream_multi(params, cfg, K,
+                                        max_frames=None if window else T, window=window)
+    # Dirty slot 2's cache + t to prove reset_stream_slot recycling is clean.
+    state = stepK(state, jnp.concatenate([rgb[0][:, :, 0]] * K),
+                  jnp.concatenate([q0] * K),
+                  jnp.asarray([False, False, True]))[0]
+    state = streaming.reset_stream_slot(state, 2)
+
+    pos = [0] * K   # per-session next frame index
+    for tick in range(T + K - 1):
+        act = np.zeros(K, bool)
+        frames = np.zeros((K, 3, H, W), np.float32)
+        queries = np.zeros((K, 1, H, W), np.float32)
+        for k in range(K):
+            if k <= tick and pos[k] < T:
+                act[k] = True
+                frames[k] = np.asarray(rgb[k][0, :, pos[k]])
+                if pos[k] == 0:
+                    queries[k] = np.asarray(q0[0])
+        if not act.any():
+            continue
+        state, masks, flags = stepK(state, jnp.asarray(frames), jnp.asarray(queries),
+                                    jnp.asarray(act))
+        for k in range(K):
+            if act[k]:
+                m_ref, f_ref = refs[k][pos[k]]
+                np.testing.assert_allclose(np.asarray(masks[k]), m_ref,
+                                           rtol=2e-4, atol=2e-5)
+                if f_ref is not None:
+                    np.testing.assert_allclose(np.asarray(flags[k]), f_ref,
+                                               rtol=2e-4, atol=2e-5)
+                pos[k] += 1
+    assert [int(x) for x in np.asarray(state.t)] == [T] * K
+
+
+def test_multi_session_unbounded_matches_single(setup):
+    cfg, params = setup
+    _multi_vs_single(cfg, params, window=None)
+
+
+def test_multi_session_windowed_matches_single(setup):
+    cfg, params = setup
+    _multi_vs_single(cfg, params, window=4)
+
+
+def test_multi_session_windowed_rope_matches_single(setup):
+    cfg, params = setup
+    _multi_vs_single(cfg, params, window=4, rope=True)

@@ -40,7 +40,8 @@ def run_server(a):
         cfg = dataclasses.replace(cfg, causal_attention=1)
 
     server = TrackerServer(params, cfg, host=a.host, port=a.port,
-                           default_max_frames=a.max_frames or None)
+                           default_max_frames=a.max_frames or None,
+                           batch_slots=a.batch_slots)
     host, port = server.start()
     logger.info(f'serving {a.resume} on {host}:{port} '
                 f'({cfg.frame_height}x{cfg.frame_width}, backend {jax.default_backend()}); '
@@ -113,6 +114,9 @@ def main():
     p.add_argument('--checkpoint_root', default='checkpoints/')
     p.add_argument('--max_frames', type=int, default=0,
                    help='cache slots for unbounded (window=0) sessions')
+    p.add_argument('--batch_slots', type=int, default=1,
+                   help='>1: continuous batching — same-geometry sessions share one '
+                        'batched device step (higher aggregate throughput)')
     # client args
     p.add_argument('--video', default='demo/rollball.mp4')
     p.add_argument('--query', default='demo/rollball_15_query.png')

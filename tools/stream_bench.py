@@ -27,6 +27,9 @@ def main():
     p.add_argument('--depth', type=int, default=12)
     p.add_argument('--repeats', type=int, default=3)
     p.add_argument('--rope', type=int, default=0, help='temporal_rope on the bench model')
+    p.add_argument('--multi', type=int, default=0,
+                   help='>0: ALSO bench stream_step_multi with this many concurrent '
+                        'sessions (the serving layer\'s continuous-batching step)')
     p.add_argument('--device', default='')
     a = p.parse_args()
     if a.device == 'cpu':
@@ -84,11 +87,50 @@ def main():
               flush=True)
         return ms
 
+    def chain_multi(window, K):
+        framesK = jnp.broadcast_to(frames, (T, K) + frames.shape[2:])
+        queriesK = jnp.broadcast_to(queries, (T, K) + queries.shape[2:])
+        active = jnp.ones((K,), bool)
+
+        @jax.jit
+        def run(params, framesK, queriesK):
+            def scan_body(state, ft_qt):
+                ft, qt = ft_qt
+                state, mask, _ = streaming.stream_step_multi(
+                    params, cfg, state, ft, qt, active, window=window)
+                return state, jnp.sum(mask.astype(jnp.float32))
+
+            state = streaming.init_stream_multi(params, cfg, K, max_frames=T,
+                                                window=window)
+            _, sums = jax.lax.scan(scan_body, state, (framesK, queriesK))
+            return jnp.sum(sums)
+
+        return run, framesK, queriesK
+
+    def measure_multi(window, K):
+        run, fK, qK = chain_multi(window, K)
+        t0 = time.time()
+        float(run(params, fK, qK))
+        compile_s = time.time() - t0
+        best = float('inf')
+        for _ in range(a.repeats):
+            t0 = time.time()
+            float(run(params, fK, qK))
+            best = min(best, time.time() - t0)
+        ms = best * 1e3 / (T * K)   # per session-frame
+        label = f'multi{K} w={window or 0}'
+        print(f'{label:>14}: {ms:7.2f} ms/frame/session  ({1e3 / ms:6.0f} agg fps)   '
+              f'[chain {best:.3f} s, compile {compile_s:.1f} s]', flush=True)
+        return ms
+
     results = {}
     if a.unbounded:
         results['unbounded'] = measure(f'unbounded({T})', None)
     for w in [int(x) for x in a.windows.split(',') if x]:
         results[f'window{w}'] = measure(f'window={w}', w)
+    if a.multi:
+        for w in [int(x) for x in a.windows.split(',') if x]:
+            results[f'multi{a.multi}_w{w}'] = measure_multi(w, a.multi)
     print(results)
 
 
