@@ -75,13 +75,15 @@ def recv_msg(sock: socket.socket) -> Optional[Tuple[Dict[str, Any], bytes]]:
 
 class _Session:
     def __init__(self, sid: int, state, step_fn, capacity: Optional[int],
-                 group: Optional['_BatchGroup'] = None, slot: int = -1):
+                 group: Optional['_BatchGroup'] = None, slot: int = -1,
+                 epoch: int = 0):
         self.sid = sid
         self.state = state         # dedicated mode only (None when batched)
         self.step_fn = step_fn
         self.capacity = capacity   # None = windowed (any length)
         self.group = group         # batched mode: continuous-batching group + slot
         self.slot = slot
+        self.epoch = epoch         # group epoch at open; stale => caches were lost
         self.t = 0
 
 
@@ -111,12 +113,10 @@ class _BatchGroup:
         jax, streaming = server._jax, server._streaming
         self.server = server
         self.window, self.pinned, self.tmax, self.slots = window, pinned, tmax, slots
+        self._streaming = streaming
         cfg = server.cfg
         with server._device_lock:
-            self.state = streaming.init_stream_multi(
-                server.params, cfg, batch_size=slots,
-                max_frames=None if window else tmax, window=window,
-                pinned_frames=pinned)
+            self.state = self._fresh_state()
         jnp = jax.numpy
 
         def _step_from_u8(p, s, f_u8, q_u8, a):
@@ -132,11 +132,15 @@ class _BatchGroup:
             return s, mask.astype(jnp.float16), flags
 
         self.step_fn = jax.jit(_step_from_u8, donate_argnums=(1,))
-        self.reset_fn = jax.jit(streaming.reset_stream_slot, static_argnums=(1,),
-                                donate_argnums=(0,))
+        # Slot index stays dynamic: one compile serves every slot reset.
+        self.reset_fn = jax.jit(streaming.reset_stream_slot, donate_argnums=(0,))
         self.free = list(range(slots))
         self.pending: Dict[int, _FrameBox] = {}
         self.cond = threading.Condition()
+        # Bumped whenever the device state is rebuilt after a failed step: sessions from
+        # an older epoch have lost their caches and must reopen (see submit()).
+        self.epoch = 0
+        self.stopped = threading.Event()   # set when the server evicts this group
         self.steps = 0
         self.frames = 0
         self.step_ms = 0.0
@@ -145,24 +149,41 @@ class _BatchGroup:
                                         name='tracker-batch', daemon=True)
         self._thread.start()
 
-    def alloc_slot(self) -> int:
+    def _fresh_state(self):
+        '''Caller holds the device lock.'''
+        return self._streaming.init_stream_multi(
+            self.server.params, self.server.cfg, batch_size=self.slots,
+            max_frames=None if self.window else self.tmax, window=self.window,
+            pinned_frames=self.pinned)
+
+    def alloc_slot(self) -> Tuple[int, int]:
         with self.cond:
             if not self.free:
                 raise ValueError(f'batch group full ({self.slots} sessions for '
                                  f'window={self.window or 0}); retry later')
             slot = self.free.pop()
+            epoch = self.epoch
         with self.server._device_lock:
             self.state = self.reset_fn(self.state, slot)
-        return slot
+        return slot, epoch
 
-    def release_slot(self, slot: int) -> None:
+    def release_slot(self, slot: int, epoch: int) -> None:
         with self.cond:
-            self.free.append(slot)
+            if epoch == self.epoch and slot not in self.free:
+                self.free.append(slot)
             self.pending.pop(slot, None)
 
-    def submit(self, slot: int, rgb: np.ndarray, qmask: np.ndarray) -> _FrameBox:
+    def idle(self) -> bool:
+        with self.cond:
+            return len(self.free) == self.slots
+
+    def submit(self, slot: int, epoch: int, rgb: np.ndarray, qmask: np.ndarray
+               ) -> _FrameBox:
         box = _FrameBox(rgb, qmask)
         with self.cond:
+            if epoch != self.epoch or self.stopped.is_set():
+                raise ValueError('session state was lost (device error or group '
+                                 'eviction); close and reopen the session')
             assert slot not in self.pending, 'one in-flight frame per session'
             self.pending[slot] = box
             self.cond.notify()
@@ -172,7 +193,7 @@ class _BatchGroup:
         np_ = np
         H, W = self.server.cfg.frame_height, self.server.cfg.frame_width
         jnp = self.server._jax.numpy
-        while not self.server._stopping.is_set():
+        while not (self.server._stopping.is_set() or self.stopped.is_set()):
             with self.cond:
                 if not self.pending:
                     self.cond.wait(timeout=0.25)
@@ -220,6 +241,22 @@ class _BatchGroup:
             except BaseException as e:   # noqa: BLE001 — surfaced per-request
                 for box in batch.values():
                     box.error = e
+                # step_fn donated self.state: after a failed step those buffers may be
+                # gone, which would brick EVERY later step of this group. Rebuild a fresh
+                # state and bump the epoch — live sessions have lost their caches and get
+                # a "reopen" error on their next frame instead of an opaque buffer error.
+                try:
+                    with self.server._device_lock:
+                        self.state = self._fresh_state()
+                    with self.cond:
+                        self.epoch += 1
+                        self.free = list(range(self.slots))
+                        for b in self.pending.values():
+                            b.error = e
+                            b.done.set()
+                        self.pending.clear()
+                except BaseException:   # noqa: BLE001 — device unusable; stop the group
+                    self.stopped.set()
             finally:
                 for box in batch.values():
                     box.done.set()
@@ -240,7 +277,8 @@ class TrackerServer:
     '''
 
     def __init__(self, params, cfg, host: str = '127.0.0.1', port: int = 0,
-                 default_max_frames: Optional[int] = None, batch_slots: int = 1):
+                 default_max_frames: Optional[int] = None, batch_slots: int = 1,
+                 max_groups: int = 4):
         import jax
         from tcow_tpu.models import streaming
         assert cfg.causal_attention == 1, 'serving requires causal_attention == 1'
@@ -252,6 +290,7 @@ class TrackerServer:
         self._host, self._port = host, port
         self.default_max_frames = default_max_frames or cfg.num_total_frames
         self.batch_slots = batch_slots
+        self.max_groups = max_groups
         self._groups: Dict[Tuple[Optional[int], int, int], _BatchGroup] = {}
         self._groups_lock = threading.Lock()
         self._step_cache: Dict[Tuple[Optional[int], int], Any] = {}
@@ -307,6 +346,7 @@ class TrackerServer:
             t = threading.Thread(target=self._serve_conn, args=(conn,),
                                  name='tracker-conn', daemon=True)
             t.start()
+            self._conn_threads = [x for x in self._conn_threads if x.is_alive()]
             self._conn_threads.append(t)
 
     # -- model plumbing -------------------------------------------------------
@@ -338,15 +378,31 @@ class TrackerServer:
             key = (window, pinned, tmax)
             with self._groups_lock:
                 group = self._groups.get(key)
+                if group is not None and group.stopped.is_set():
+                    del self._groups[key]
+                    group = None
                 if group is None:
+                    # Each group pins batch_slots x full-KV-cache device memory and the
+                    # geometry comes from the client, so bound the live group count:
+                    # evict idle groups first, reject the open if none are idle.
+                    while len(self._groups) >= self.max_groups:
+                        idle = next((k for k, g in self._groups.items() if g.idle()),
+                                    None)
+                        if idle is None:
+                            raise ValueError(
+                                f'server at capacity ({self.max_groups} active session '
+                                f'geometries); reuse an existing window/max_frames or '
+                                f'retry later')
+                        self._groups.pop(idle).stopped.set()
                     group = self._groups[key] = _BatchGroup(
                         self, window, pinned, tmax, self.batch_slots)
-            slot = group.alloc_slot()
+            slot, epoch = group.alloc_slot()
             with self._sessions_lock:
                 sid = self._next_sid
                 self._next_sid += 1
                 self._active_sessions += 1
-            return _Session(sid, None, None, capacity, group=group, slot=slot)
+            return _Session(sid, None, None, capacity, group=group, slot=slot,
+                            epoch=epoch)
         state = self._streaming.init_stream(
             self.params, self.cfg, batch_size=1,
             max_frames=None if window else max_frames, window=window,
@@ -363,7 +419,7 @@ class TrackerServer:
         import jax.numpy as jnp
         t0 = time.time()
         if sess.group is not None:
-            box = sess.group.submit(sess.slot, rgb_u8, qmask_u8)
+            box = sess.group.submit(sess.slot, sess.epoch, rgb_u8, qmask_u8)
             box.done.wait()
             if box.error is not None:
                 raise box.error
@@ -392,10 +448,23 @@ class TrackerServer:
         sess: Optional[_Session] = None
         try:
             while not self._stopping.is_set():
-                msg = recv_msg(conn)
+                try:
+                    msg = recv_msg(conn)
+                except ValueError as e:
+                    # Broken framing (oversized lengths, invalid header JSON — note
+                    # JSONDecodeError is a ValueError): the byte stream is no longer
+                    # trustworthy, so reply once and drop the connection.
+                    try:
+                        send_msg(conn, {'ok': False, 'error': f'protocol error: {e}'})
+                    except OSError:
+                        pass
+                    break
                 if msg is None:
                     break
                 header, payload = msg
+                if not isinstance(header, dict):
+                    send_msg(conn, {'ok': False, 'error': 'header must be a JSON object'})
+                    continue
                 cmd = header.get('cmd')
                 try:
                     if cmd == 'open':
@@ -451,7 +520,7 @@ class TrackerServer:
         finally:
             if sess is not None:
                 if sess.group is not None:
-                    sess.group.release_slot(sess.slot)
+                    sess.group.release_slot(sess.slot, sess.epoch)
                 with self._sessions_lock:
                     self._active_sessions -= 1
             conn.close()

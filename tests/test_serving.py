@@ -209,3 +209,88 @@ def test_batched_slot_recycling_and_capacity(batched_setup):
     fresh.close()
     for c in (holders[0], holders[2]):
         c.close()
+
+
+def test_group_eviction_and_capacity(setup):
+    '''Idle same-geometry groups are evicted to honor max_groups; non-idle ones refuse new
+    geometries with a clean error instead of accumulating device memory.'''
+    cfg, params, _, _ = setup
+    server = serving.TrackerServer(params, cfg, port=0, batch_slots=2, max_groups=1)
+    host, port = server.start()
+    try:
+        a = serving.TrackerClient(host, port)
+        a.open(window=4)
+        # Group A is live (non-idle): a different geometry must be rejected.
+        b = serving.TrackerClient(host, port)
+        with pytest.raises(RuntimeError, match='at capacity'):
+            b.open(window=5)
+        a.close()
+        time.sleep(0.3)
+        # Group A is now idle: geometry B evicts it and works.
+        b2 = serving.TrackerClient(host, port)
+        b2.open(window=5)
+        rgb, q = _frames(5, 1, cfg.frame_height, cfg.frame_width)
+        m, _, t = b2.track(rgb[0], query_mask=q)
+        assert t == 0 and m.shape[0] == cfg.output_channels
+        assert len(server._groups) == 1
+        b2.close()
+    finally:
+        server.stop()
+
+
+def test_failed_step_recycles_group_instead_of_bricking(batched_setup):
+    '''After a device-step failure the group rebuilds its state and bumps the epoch:
+    the stale session gets a clean "reopen" error (connection alive), and a NEW session
+    on the recycled group works and matches direct streaming.'''
+    cfg, params, host, port, server = batched_setup
+    H, W = cfg.frame_height, cfg.frame_width
+    rgb, q = _frames(6, 3, H, W)
+    ref = _reference_stream(params, cfg, rgb, q, window=4)
+
+    c = serving.TrackerClient(host, port)
+    c.open(window=4)
+    c.track(rgb[0], query_mask=q)
+    # Simulate the aftermath of a failed (state-donating) device step: the dispatcher
+    # rebuilds the state and bumps the epoch (white-box: exercise the same code path).
+    group = next(iter(server._groups.values()))
+    with server._device_lock:
+        group.state = group._fresh_state()
+    with group.cond:
+        group.epoch += 1
+        group.free = list(range(group.slots))
+    with pytest.raises(RuntimeError, match='reopen'):
+        c.track(rgb[1])
+    # The connection is still alive (stats works) and a fresh session succeeds.
+    assert c.stats()['frames_served'] >= 1
+    c.close()
+    c2 = serving.TrackerClient(host, port)
+    c2.open(window=4)
+    for t in range(3):
+        m, _, _ = c2.track(rgb[t], query_mask=q if t == 0 else None)
+        np.testing.assert_allclose(np.asarray(m, np.float32),
+                                   np.asarray(ref[0][t], np.float32),
+                                   rtol=2e-3, atol=2e-3)
+    c2.close()
+
+
+def test_malformed_headers_do_not_kill_the_thread(setup):
+    cfg, params, host, port = setup
+    import json as json_mod
+    import socket as socket_mod
+    import struct as struct_mod
+    # Non-dict JSON header: error reply, connection stays alive.
+    s = socket_mod.create_connection((host, port), timeout=30)
+    h = json_mod.dumps([1, 2]).encode()
+    s.sendall(struct_mod.pack('>II', len(h), 0) + h)
+    reply, _ = serving.recv_msg(s)
+    assert not reply['ok'] and 'JSON object' in reply['error']
+    serving.send_msg(s, {'cmd': 'stats'})
+    assert serving.recv_msg(s)[0]['ok']
+    # Invalid JSON bytes: one protocol-error reply, then the server drops the connection.
+    s2 = socket_mod.create_connection((host, port), timeout=30)
+    s2.sendall(struct_mod.pack('>II', 3, 0) + b'{{{')
+    reply, _ = serving.recv_msg(s2)
+    assert not reply['ok'] and 'protocol error' in reply['error']
+    assert serving.recv_msg(s2) is None   # clean EOF
+    s.close()
+    s2.close()

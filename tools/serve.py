@@ -78,7 +78,7 @@ def run_client(a):
         idx += 1
         if idx < a.query_frame:
             continue
-        if a.max_frames > 0 and len(frames_out) >= a.max_frames:
+        if a.client_frames > 0 and len(frames_out) >= a.client_frames:
             break
         rgb = cv2.resize(bgr[..., ::-1], (W, H)).astype(np.uint8)
         q = None
@@ -123,6 +123,8 @@ def main():
     p.add_argument('--query_frame', type=int, default=15)
     p.add_argument('--window', type=int, default=30,
                    help='0 = unbounded (exact, bounded length); >0 = windowed any-length')
+    p.add_argument('--client_frames', type=int, default=0,
+                   help='stop the demo client after this many frames (0 = whole video)')
     p.add_argument('--out', default='serve_out.webm')
     a = p.parse_args()
     if a.client:

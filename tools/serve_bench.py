@@ -54,7 +54,10 @@ def run_clients(host, port, n_sessions, n_frames, window, H, W):
     threads = [threading.Thread(target=worker, args=(k,)) for k in range(n_sessions)]
     for t in threads:
         t.start()
-    barrier.wait()           # all sessions warmed: timed region starts here
+    try:
+        barrier.wait()       # all sessions warmed: timed region starts here
+    except threading.BrokenBarrierError:
+        pass                 # a worker failed during open/warm-up; report it below
     t0 = time.time()
     for t in threads:
         t.join()
