@@ -23,6 +23,8 @@ Wire protocol (stdlib-only, length-prefixed):
     {"cmd": "open", "window": W}              W=0: unbounded cache of "max_frames" slots
     {"cmd": "frame", "has_query": bool}       payload: rgb uint8 (H,W,3) [+ query uint8 (H,W)]
     {"cmd": "stats"} | {"cmd": "close"}
+    {"cmd": "reload", "path": "..."}          hot-swap weights (needs params_loader);
+                                              invalidates every open session
   server -> client replies:
     open  -> {"ok", "session", "height", "width", "mask_channels", "flag_channels"}
     frame -> {"ok", "t", "flags": [..]|null}  payload: mask logits float16 (C,H,W)
@@ -76,8 +78,9 @@ def recv_msg(sock: socket.socket) -> Optional[Tuple[Dict[str, Any], bytes]]:
 class _Session:
     def __init__(self, sid: int, state, step_fn, capacity: Optional[int],
                  group: Optional['_BatchGroup'] = None, slot: int = -1,
-                 epoch: int = 0):
+                 epoch: int = 0, params_epoch: int = 0):
         self.sid = sid
+        self.params_epoch = params_epoch
         self.state = state         # dedicated mode only (None when batched)
         self.step_fn = step_fn
         self.capacity = capacity   # None = windowed (any length)
@@ -278,11 +281,14 @@ class TrackerServer:
 
     def __init__(self, params, cfg, host: str = '127.0.0.1', port: int = 0,
                  default_max_frames: Optional[int] = None, batch_slots: int = 1,
-                 max_groups: int = 4):
+                 max_groups: int = 4, params_loader=None):
         import jax
         from tcow_tpu.models import streaming
         assert cfg.causal_attention == 1, 'serving requires causal_attention == 1'
         assert batch_slots >= 1, batch_slots
+        # Optional `path -> params pytree` callback enabling the 'reload' command
+        # (checkpoint hot-swap without restarting the server). None disables it.
+        self.params_loader = params_loader
         self._jax = jax
         self._streaming = streaming
         self.cfg = cfg
@@ -299,6 +305,7 @@ class TrackerServer:
         self._next_sid = 0
         self._active_sessions = 0
         self._frames_served = 0
+        self._params_epoch = 0   # bumped by reload_params; stale sessions must reopen
         self._ema_ms: Optional[float] = None
         self._sock: Optional[socket.socket] = None
         self._accept_thread: Optional[threading.Thread] = None
@@ -351,6 +358,34 @@ class TrackerServer:
 
     # -- model plumbing -------------------------------------------------------
 
+    def reload_params(self, params) -> int:
+        '''Checkpoint hot-swap: replace the served weights without restarting the server.
+        Live sessions' KV caches were computed under the OLD weights, so mixing would be
+        silently inconsistent — instead every open session is invalidated (its next frame
+        gets a clean "reopen" error) and new sessions use the new weights. Compiled step
+        functions are geometry-keyed, not weight-keyed, so nothing recompiles. Returns the
+        new params epoch.'''
+        new_params = self._jax.device_put(params)
+        with self._device_lock:
+            self.params = new_params
+        with self._sessions_lock:
+            self._params_epoch += 1
+            epoch = self._params_epoch
+        with self._groups_lock:
+            groups = list(self._groups.values())
+        for g in groups:
+            with self._device_lock:
+                g.state = g._fresh_state()
+            with g.cond:
+                g.epoch += 1
+                g.free = list(range(g.slots))
+                for box in g.pending.values():
+                    box.error = ValueError('weights were reloaded; close and reopen '
+                                           'the session')
+                    box.done.set()
+                g.pending.clear()
+        return epoch
+
     def _get_step_fn(self, window: Optional[int], pinned: int):
         key = (window, pinned)
         if key not in self._step_cache:
@@ -402,7 +437,7 @@ class TrackerServer:
                 self._next_sid += 1
                 self._active_sessions += 1
             return _Session(sid, None, None, capacity, group=group, slot=slot,
-                            epoch=epoch)
+                            epoch=epoch, params_epoch=self._params_epoch)
         state = self._streaming.init_stream(
             self.params, self.cfg, batch_size=1,
             max_frames=None if window else max_frames, window=window,
@@ -412,7 +447,7 @@ class TrackerServer:
             self._next_sid += 1
             self._active_sessions += 1
         return _Session(sid, state, self._get_step_fn(window, pinned),
-                        capacity=capacity)
+                        capacity=capacity, params_epoch=self._params_epoch)
 
     def _run_frame(self, sess: _Session, rgb_u8: np.ndarray, qmask_u8: np.ndarray):
         '''rgb_u8 (1, 3, H, W) uint8, qmask_u8 (1, 1, H, W) uint8 (0 when no query).'''
@@ -425,6 +460,8 @@ class TrackerServer:
                 raise box.error
             mask_np, flags_np = box.mask, box.flags
         else:
+            if sess.params_epoch != self._params_epoch:
+                raise ValueError('weights were reloaded; close and reopen the session')
             rgb = rgb_u8.astype(np.float32) / 255.0
             qmask = (qmask_u8 > 127).astype(np.float32)
             with self._device_lock:
@@ -507,6 +544,15 @@ class TrackerServer:
                                             'active_sessions': self._active_sessions,
                                             'frames_served': self._frames_served,
                                             'ms_per_frame_ema': self._ema_ms})
+                    elif cmd == 'reload':
+                        if self.params_loader is None:
+                            raise ValueError('reload is disabled on this server '
+                                             '(no params_loader configured)')
+                        path = header.get('path')
+                        if not isinstance(path, str) or not path:
+                            raise ValueError('reload needs a "path" string')
+                        epoch = self.reload_params(self.params_loader(path))
+                        send_msg(conn, {'ok': True, 'params_epoch': epoch})
                     elif cmd == 'close':
                         send_msg(conn, {'ok': True})
                         break
@@ -576,6 +622,11 @@ class TrackerClient:
 
     def stats(self) -> Dict[str, Any]:
         return self._rpc({'cmd': 'stats'})[0]
+
+    def reload(self, path: str) -> int:
+        '''Hot-swap the server's weights from a checkpoint path (server must be started
+        with a params_loader). Every open session is invalidated.'''
+        return self._rpc({'cmd': 'reload', 'path': path})[0]['params_epoch']
 
     def close(self) -> None:
         try:

@@ -294,3 +294,49 @@ def test_malformed_headers_do_not_kill_the_thread(setup):
     assert serving.recv_msg(s2) is None   # clean EOF
     s.close()
     s2.close()
+
+
+def test_weight_hot_reload(setup):
+    '''"reload" swaps weights without restart: stale sessions get a clean reopen error,
+    fresh sessions produce the NEW weights' outputs (both dedicated and batched modes).'''
+    cfg, params, _, _ = setup
+    params_b = mt.init_params(jax.random.key(99), cfg)
+    registry = {'ckpt_b': params_b}
+    for slots in (1, 2):
+        server = serving.TrackerServer(params, cfg, port=0, batch_slots=slots,
+                                       params_loader=registry.__getitem__)
+        host, port = server.start()
+        try:
+            T, H, W = 2, cfg.frame_height, cfg.frame_width
+            rgb, q = _frames(77, T, H, W)
+            ref_b = _reference_stream(params_b, cfg, rgb, q, window=4)
+
+            stale = serving.TrackerClient(host, port)
+            stale.open(window=4)
+            stale.track(rgb[0], query_mask=q)
+
+            admin = serving.TrackerClient(host, port)
+            assert admin.reload('ckpt_b') == 1
+            with pytest.raises(RuntimeError, match='reopen'):
+                stale.track(rgb[1])
+            stale.close()
+
+            fresh = serving.TrackerClient(host, port)
+            fresh.open(window=4)
+            for t in range(T):
+                m, _, _ = fresh.track(rgb[t], query_mask=q if t == 0 else None)
+                np.testing.assert_allclose(np.asarray(m, np.float32),
+                                           np.asarray(ref_b[0][t], np.float32),
+                                           rtol=2e-3, atol=2e-3)
+            fresh.close()
+            admin.close()
+        finally:
+            server.stop()
+
+
+def test_reload_disabled_without_loader(setup):
+    cfg, params, host, port = setup
+    c = serving.TrackerClient(host, port)
+    with pytest.raises(RuntimeError, match='reload is disabled'):
+        c.reload('/nonexistent')
+    c.close()

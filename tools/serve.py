@@ -39,9 +39,19 @@ def run_server(a):
         logger.warning('checkpoint is not causal_attention=1; forcing for streaming.')
         cfg = dataclasses.replace(cfg, causal_attention=1)
 
+    def load_same_geometry(path):
+        '''Loader backing the 'reload' command: the hot-swapped checkpoint must describe
+        the SAME model geometry (step functions are compiled per geometry).'''
+        new_params, new_cfg, *_ = inference_lib.load_networks(path, logger)
+        import dataclasses
+        if dataclasses.replace(new_cfg, causal_attention=1) != cfg:
+            raise ValueError(f'checkpoint geometry mismatch: {new_cfg} != {cfg}')
+        return new_params
+
     server = TrackerServer(params, cfg, host=a.host, port=a.port,
                            default_max_frames=a.max_frames or None,
-                           batch_slots=a.batch_slots)
+                           batch_slots=a.batch_slots,
+                           params_loader=load_same_geometry if a.allow_reload else None)
     host, port = server.start()
     logger.info(f'serving {a.resume} on {host}:{port} '
                 f'({cfg.frame_height}x{cfg.frame_width}, backend {jax.default_backend()}); '
@@ -114,6 +124,8 @@ def main():
     p.add_argument('--checkpoint_root', default='checkpoints/')
     p.add_argument('--max_frames', type=int, default=0,
                    help='cache slots for unbounded (window=0) sessions')
+    p.add_argument('--allow_reload', action='store_true',
+                   help='enable the "reload" command (checkpoint hot-swap)')
     p.add_argument('--batch_slots', type=int, default=1,
                    help='>1: continuous batching — same-geometry sessions share one '
                         'batched device step (higher aggregate throughput)')
