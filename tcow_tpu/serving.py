@@ -31,6 +31,7 @@ Wire protocol (stdlib-only, length-prefixed):
     any error -> {"ok": false, "error": msg}  (the session stays usable unless the socket died)
 '''
 
+import contextlib
 import json
 import socket
 import struct
@@ -43,6 +44,7 @@ import numpy as np
 _HDR = struct.Struct('>II')
 _MAX_HEADER = 1 << 20
 _MAX_PAYLOAD = 1 << 28
+_NULL_LOCK = contextlib.nullcontext()
 
 
 def send_msg(sock: socket.socket, header: Dict[str, Any], payload: bytes = b'') -> None:
@@ -159,16 +161,53 @@ class _BatchGroup:
             max_frames=None if self.window else self.tmax, window=self.window,
             pinned_frames=self.pinned)
 
+    def recycle(self, error: Optional[BaseException] = None,
+                _device_locked: bool = False) -> None:
+        '''Invalidate EVERY session of this group and rebuild its device state — after a
+        failed step (whose donated state buffers may be gone) or a weight reload. Atomic
+        wrt the dispatcher: the state swap and epoch bump happen together under the device
+        lock, and the dispatcher re-reads the epoch under that lock before stepping, so an
+        already-grabbed batch can never run against the fresh state. If even the rebuild
+        fails the group is stopped; either way every pending request is failed cleanly.'''
+        err = ValueError('session state was lost (device error, weight reload, or group '
+                         'eviction); close and reopen the session'
+                         + (f' [{error}]' if error is not None else ''))
+        lock = _NULL_LOCK if _device_locked else self.server._device_lock
+        try:
+            with lock:
+                new_state = self._fresh_state()
+                with self.cond:
+                    self.state = new_state
+                    self.epoch += 1
+                    self.free = list(range(self.slots))
+                    self._fail_pending_locked(err)
+        except BaseException:   # noqa: BLE001 — device unusable; stop the group
+            self.stopped.set()
+            with self.cond:
+                self._fail_pending_locked(err)
+
+    def _fail_pending_locked(self, err: BaseException) -> None:
+        '''Caller holds self.cond.'''
+        for b in self.pending.values():
+            b.error = err
+            b.done.set()
+        self.pending.clear()
+
     def alloc_slot(self) -> Tuple[int, int]:
-        with self.cond:
-            if not self.free:
-                raise ValueError(f'batch group full ({self.slots} sessions for '
-                                 f'window={self.window or 0}); retry later')
-            slot = self.free.pop()
-            epoch = self.epoch
-        with self.server._device_lock:
-            self.state = self.reset_fn(self.state, slot)
-        return slot, epoch
+        while True:
+            with self.cond:
+                if self.stopped.is_set():
+                    raise ValueError('batch group was stopped; retry the open')
+                if not self.free:
+                    raise ValueError(f'batch group full ({self.slots} sessions for '
+                                     f'window={self.window or 0}); retry later')
+                slot = self.free.pop()
+                epoch = self.epoch
+            with self.server._device_lock:
+                if self.epoch == epoch and not self.stopped.is_set():
+                    self.state = self.reset_fn(self.state, slot)
+                    return slot, epoch
+            # A recycle() intervened (slot list was rebuilt): take a fresh slot.
 
     def release_slot(self, slot: int, epoch: int) -> None:
         with self.cond:
@@ -215,6 +254,7 @@ class _BatchGroup:
                         self.cond.wait(rem)
                 batch = dict(self.pending)
                 self.pending.clear()
+                epoch_at_grab = self.epoch
             if not batch:
                 continue
             frames = np_.zeros((self.slots, 3, H, W), np_.uint8)
@@ -227,6 +267,13 @@ class _BatchGroup:
             try:
                 t0 = time.time()
                 with self.server._device_lock:
+                    if self.epoch != epoch_at_grab or self.stopped.is_set():
+                        # A recycle() (failed step elsewhere, weight reload, eviction)
+                        # landed between grabbing this batch and stepping: these frames
+                        # belong to invalidated sessions and must NOT run on the fresh
+                        # state/new weights (silently wrong outputs).
+                        raise ValueError('session state was lost (weight reload or '
+                                         'group recycle); close and reopen the session')
                     self.state, masks, flags = self.step_fn(
                         self.server.params, self.state, jnp.asarray(frames),
                         jnp.asarray(queries), jnp.asarray(active))
@@ -241,25 +288,20 @@ class _BatchGroup:
                 for slot, box in batch.items():
                     box.mask = masks_np[slot]
                     box.flags = None if flags_np is None else flags_np[slot]
-            except BaseException as e:   # noqa: BLE001 — surfaced per-request
+            except ValueError as e:      # stale batch: sessions already invalidated
                 for box in batch.values():
                     box.error = e
+            except BaseException as e:   # noqa: BLE001 — surfaced per-request
+                # Application errors keep connections alive, so wrap the device error in
+                # the ValueError the protocol layer treats as such.
+                err = ValueError(f'device step failed; session lost — close and reopen '
+                                 f'the session [{e}]')
+                for box in batch.values():
+                    box.error = err
                 # step_fn donated self.state: after a failed step those buffers may be
-                # gone, which would brick EVERY later step of this group. Rebuild a fresh
-                # state and bump the epoch — live sessions have lost their caches and get
-                # a "reopen" error on their next frame instead of an opaque buffer error.
-                try:
-                    with self.server._device_lock:
-                        self.state = self._fresh_state()
-                    with self.cond:
-                        self.epoch += 1
-                        self.free = list(range(self.slots))
-                        for b in self.pending.values():
-                            b.error = e
-                            b.done.set()
-                        self.pending.clear()
-                except BaseException:   # noqa: BLE001 — device unusable; stop the group
-                    self.stopped.set()
+                # gone, which would brick EVERY later step of this group. recycle()
+                # rebuilds the state, bumps the epoch, and fails any newly-pending boxes.
+                self.recycle(e)
             finally:
                 for box in batch.values():
                     box.done.set()
@@ -281,11 +323,13 @@ class TrackerServer:
 
     def __init__(self, params, cfg, host: str = '127.0.0.1', port: int = 0,
                  default_max_frames: Optional[int] = None, batch_slots: int = 1,
-                 max_groups: int = 4, params_loader=None):
+                 max_groups: int = 4, params_loader=None,
+                 max_cache_bytes: int = 8 << 30):
         import jax
         from tcow_tpu.models import streaming
         assert cfg.causal_attention == 1, 'serving requires causal_attention == 1'
         assert batch_slots >= 1, batch_slots
+        self.max_cache_bytes = max_cache_bytes
         # Optional `path -> params pytree` callback enabling the 'reload' command
         # (checkpoint hot-swap without restarting the server). None disables it.
         self.params_loader = params_loader
@@ -364,26 +408,23 @@ class TrackerServer:
         silently inconsistent — instead every open session is invalidated (its next frame
         gets a clean "reopen" error) and new sessions use the new weights. Compiled step
         functions are geometry-keyed, not weight-keyed, so nothing recompiles. Returns the
-        new params epoch.'''
+        new params epoch.
+
+        Atomicity: the params swap, the dedicated-session epoch bump, and every group's
+        recycle all happen under ONE device-lock hold, and both step paths re-check their
+        epoch under that lock — so no frame from a pre-reload session can ever run against
+        the new weights. Lock order is device -> (sessions | groups | group.cond); nothing
+        else acquires the device lock while holding those.'''
         new_params = self._jax.device_put(params)
         with self._device_lock:
             self.params = new_params
-        with self._sessions_lock:
-            self._params_epoch += 1
-            epoch = self._params_epoch
-        with self._groups_lock:
-            groups = list(self._groups.values())
-        for g in groups:
-            with self._device_lock:
-                g.state = g._fresh_state()
-            with g.cond:
-                g.epoch += 1
-                g.free = list(range(g.slots))
-                for box in g.pending.values():
-                    box.error = ValueError('weights were reloaded; close and reopen '
-                                           'the session')
-                    box.done.set()
-                g.pending.clear()
+            with self._sessions_lock:
+                self._params_epoch += 1
+                epoch = self._params_epoch
+            with self._groups_lock:
+                groups = list(self._groups.values())
+            for g in groups:
+                g.recycle(_device_locked=True)
         return epoch
 
     def _get_step_fn(self, window: Optional[int], pinned: int):
@@ -403,13 +444,34 @@ class TrackerServer:
             self._step_cache[key] = jax.jit(_step, donate_argnums=(1,))
         return self._step_cache[key]
 
+    def _validate_geometry(self, window: Optional[int], pinned: int, tmax: int,
+                           slots: int) -> None:
+        '''The geometry comes from the client header, so bound it BEFORE any device
+        allocation: a single open must not be able to OOM the chip (max_groups alone only
+        caps the number of geometries, not their size).'''
+        if window is not None and not (window > pinned >= 1):
+            raise ValueError(f'need window > pinned_frames >= 1, got '
+                             f'window={window} pinned_frames={pinned}')
+        if tmax < 1:
+            raise ValueError(f'need at least one cache slot, got {tmax}')
+        bb = self.cfg.backbone_config()
+        itemsize = np.dtype(bb.compute_dtype).itemsize
+        cache_bytes = slots * bb.depth * 2 * bb.num_patches * bb.embed_dim * itemsize \
+            * tmax
+        if cache_bytes > self.max_cache_bytes:
+            raise ValueError(
+                f'requested geometry needs {cache_bytes / 2**30:.1f} GiB of KV cache '
+                f'(> {self.max_cache_bytes / 2**30:.1f} GiB limit); lower "window" or '
+                f'"max_frames"')
+
     def _open_session(self, header: Dict[str, Any]) -> _Session:
         window = int(header.get('window', 0)) or None
         pinned = int(header.get('pinned_frames', 1))
         max_frames = int(header.get('max_frames', 0)) or self.default_max_frames
         capacity = None if window else max_frames
+        tmax = window if window else max_frames
         if self.batch_slots > 1:
-            tmax = window if window else max_frames
+            self._validate_geometry(window, pinned, tmax, self.batch_slots)
             key = (window, pinned, tmax)
             with self._groups_lock:
                 group = self._groups.get(key)
@@ -417,9 +479,9 @@ class TrackerServer:
                     del self._groups[key]
                     group = None
                 if group is None:
-                    # Each group pins batch_slots x full-KV-cache device memory and the
-                    # geometry comes from the client, so bound the live group count:
-                    # evict idle groups first, reject the open if none are idle.
+                    # Each group pins batch_slots x full-KV-cache device memory, so bound
+                    # the live group count: evict idle groups first, reject the open if
+                    # none are idle.
                     while len(self._groups) >= self.max_groups:
                         idle = next((k for k, g in self._groups.items() if g.idle()),
                                     None)
@@ -429,8 +491,25 @@ class TrackerServer:
                                 f'geometries); reuse an existing window/max_frames or '
                                 f'retry later')
                         self._groups.pop(idle).stopped.set()
-                    group = self._groups[key] = _BatchGroup(
-                        self, window, pinned, tmax, self.batch_slots)
+            if group is None:
+                # Create OUTSIDE _groups_lock: the constructor takes the device lock, and
+                # reload_params acquires _groups_lock while holding the device lock —
+                # holding both here would deadlock. Losing a creation race or crossing a
+                # concurrent reload is handled below.
+                params_epoch_before = self._params_epoch
+                new_group = _BatchGroup(self, window, pinned, tmax, self.batch_slots)
+                with self._groups_lock:
+                    existing = self._groups.get(key)
+                    if existing is not None and not existing.stopped.is_set():
+                        new_group.stopped.set()   # lost the race; its dispatcher exits
+                        group = existing
+                    else:
+                        self._groups[key] = new_group
+                        group = new_group
+                if group is new_group and params_epoch_before != self._params_epoch:
+                    # A reload landed while we were building: our state holds pre-reload
+                    # weights' caches (all empty, but be strict about the invariant).
+                    group.recycle()
             slot, epoch = group.alloc_slot()
             with self._sessions_lock:
                 sid = self._next_sid
@@ -438,6 +517,7 @@ class TrackerServer:
                 self._active_sessions += 1
             return _Session(sid, None, None, capacity, group=group, slot=slot,
                             epoch=epoch, params_epoch=self._params_epoch)
+        self._validate_geometry(window, pinned, tmax, 1)
         state = self._streaming.init_stream(
             self.params, self.cfg, batch_size=1,
             max_frames=None if window else max_frames, window=window,
@@ -457,14 +537,22 @@ class TrackerServer:
             box = sess.group.submit(sess.slot, sess.epoch, rgb_u8, qmask_u8)
             box.done.wait()
             if box.error is not None:
-                raise box.error
+                if isinstance(box.error, (ValueError, AssertionError)):
+                    raise box.error
+                # Backstop: surface unexpected error types as application errors so the
+                # connection survives per the protocol contract.
+                raise ValueError(f'device step failed: {box.error}')
             mask_np, flags_np = box.mask, box.flags
         else:
-            if sess.params_epoch != self._params_epoch:
-                raise ValueError('weights were reloaded; close and reopen the session')
             rgb = rgb_u8.astype(np.float32) / 255.0
             qmask = (qmask_u8 > 127).astype(np.float32)
             with self._device_lock:
+                # Checked under the device lock: reload_params swaps weights and bumps
+                # the epoch under this lock, so the check and the step are atomic wrt it
+                # (old caches never mix with new weights).
+                if sess.params_epoch != self._params_epoch:
+                    raise ValueError('weights were reloaded; close and reopen the '
+                                     'session')
                 state, mask_logits, flags = sess.step_fn(
                     self.params, sess.state, jnp.asarray(rgb), jnp.asarray(qmask))
                 sess.state = state
@@ -551,7 +639,13 @@ class TrackerServer:
                         path = header.get('path')
                         if not isinstance(path, str) or not path:
                             raise ValueError('reload needs a "path" string')
-                        epoch = self.reload_params(self.params_loader(path))
+                        try:
+                            new_params = self.params_loader(path)
+                        except (ValueError, AssertionError):
+                            raise
+                        except Exception as e:   # corrupt/missing checkpoint etc.
+                            raise ValueError(f'reload failed: {e!r}') from e
+                        epoch = self.reload_params(new_params)
                         send_msg(conn, {'ok': True, 'params_epoch': epoch})
                     elif cmd == 'close':
                         send_msg(conn, {'ok': True})

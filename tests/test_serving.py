@@ -225,7 +225,11 @@ def test_group_eviction_and_capacity(setup):
         with pytest.raises(RuntimeError, match='at capacity'):
             b.open(window=5)
         a.close()
-        time.sleep(0.3)
+        deadline = time.time() + 10
+        while time.time() < deadline:   # poll: the conn thread releases the slot async
+            if all(g.idle() for g in server._groups.values()):
+                break
+            time.sleep(0.02)
         # Group A is now idle: geometry B evicts it and works.
         b2 = serving.TrackerClient(host, port)
         b2.open(window=5)
@@ -339,4 +343,17 @@ def test_reload_disabled_without_loader(setup):
     c = serving.TrackerClient(host, port)
     with pytest.raises(RuntimeError, match='reload is disabled'):
         c.reload('/nonexistent')
+    c.close()
+
+
+def test_oversized_geometry_rejected_before_allocation(batched_setup):
+    '''A hostile/oversized open must be rejected by the memory bound, not OOM the chip.'''
+    cfg, params, host, port, server = batched_setup
+    c = serving.TrackerClient(host, port)
+    with pytest.raises(RuntimeError, match='GiB'):
+        c.open(window=10_000_000)
+    with pytest.raises(RuntimeError, match='window > pinned_frames'):
+        c.open(window=2, pinned_frames=5)
+    # The connection survives and a sane open works.
+    c.open(window=4)
     c.close()
