@@ -627,11 +627,21 @@ class TrackerServer:
                                  mask_np.tobytes())
                         sess.t += 1
                     elif cmd == 'stats':
+                        with self._groups_lock:
+                            groups = [
+                                {'window': g.window or 0, 'pinned': g.pinned,
+                                 'cache_slots': g.tmax,
+                                 'live_sessions': g.slots - len(g.free),
+                                 'steps': g.steps, 'frames': g.frames,
+                                 'avg_batch': g.frames / g.steps if g.steps else None}
+                                for g in self._groups.values()]
                         with self._sessions_lock:
                             send_msg(conn, {'ok': True,
                                             'active_sessions': self._active_sessions,
                                             'frames_served': self._frames_served,
-                                            'ms_per_frame_ema': self._ema_ms})
+                                            'ms_per_frame_ema': self._ema_ms,
+                                            'params_epoch': self._params_epoch,
+                                            'batch_groups': groups})
                     elif cmd == 'reload':
                         if self.params_loader is None:
                             raise ValueError('reload is disabled on this server '

@@ -176,8 +176,12 @@ def test_batched_server_matches_direct_streaming(batched_setup):
             if refs[k][1][t] is not None:
                 np.testing.assert_allclose(np.asarray(fl, np.float32), refs[k][1][t],
                                            rtol=1e-3, atol=1e-4)
-    # All three sessions shared ONE batch group (same geometry).
+    # All three sessions shared ONE batch group (same geometry), visible in stats.
     assert len(server._groups) == 1
+    stats = clients[0].stats()
+    (g,) = stats['batch_groups']
+    assert g['window'] == 4 and g['live_sessions'] == 3
+    assert g['frames'] >= 3 * T and g['steps'] >= 1
     for c in clients:
         c.close()
 
