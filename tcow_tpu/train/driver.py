@@ -275,9 +275,13 @@ def _run_one_epoch(args, logger, mesh, state, train_step, eval_step, loader, pha
                                   pending_aux)
             pending_aux, pending_step = aux, cur_step
             # Train-time overlay videos every step_interval steps (the reference's primary
-            # visual oracle, train.py:74 -> logvis.py:176-308).
+            # visual oracle, train.py:74 -> logvis.py:176-308). Gated on the GLOBAL step:
+            # with reference-sized epochs (thousands of steps) this matches the per-epoch
+            # gate, but on small datasets a per-epoch gate fired at step 0 of EVERY epoch
+            # — and each render device_gets ~100 MB of full-resolution outputs, which
+            # dominated epoch wall time on a relay-attached host.
             if is_train and vis_step is not None \
-                    and cur_step % logger.step_interval == 0:
+                    and total_step % logger.step_interval == 0:
                 try:
                     _render_train_overlays(logger, args, phase, epoch, cur_step,
                                            total_step, steps_per_epoch, state, vis_step,
