@@ -77,6 +77,12 @@ def recv_msg(sock: socket.socket) -> Optional[Tuple[Dict[str, Any], bytes]]:
     return json.loads(h.decode('utf-8')), p
 
 
+class _StaleBatch(ValueError):
+    '''Raised by the dispatcher when a recycle() landed between grabbing a batch and
+    stepping it. A distinct type: generic ValueErrors from the device step must still
+    take the recycle path (the step may have consumed the donated state).'''
+
+
 class _Session:
     def __init__(self, sid: int, state, step_fn, capacity: Optional[int],
                  group: Optional['_BatchGroup'] = None, slot: int = -1,
@@ -211,9 +217,16 @@ class _BatchGroup:
 
     def release_slot(self, slot: int, epoch: int) -> None:
         with self.cond:
-            if epoch == self.epoch and slot not in self.free:
+            if epoch != self.epoch:
+                # After a recycle the slot may already belong to a NEW session; touching
+                # pending here could discard (and hang) that session's in-flight frame.
+                return
+            if slot not in self.free:
                 self.free.append(slot)
-            self.pending.pop(slot, None)
+            box = self.pending.pop(slot, None)
+            if box is not None:
+                box.error = ValueError('session closed with a frame in flight')
+                box.done.set()
 
     def idle(self) -> bool:
         with self.cond:
@@ -272,8 +285,8 @@ class _BatchGroup:
                         # landed between grabbing this batch and stepping: these frames
                         # belong to invalidated sessions and must NOT run on the fresh
                         # state/new weights (silently wrong outputs).
-                        raise ValueError('session state was lost (weight reload or '
-                                         'group recycle); close and reopen the session')
+                        raise _StaleBatch('session state was lost (weight reload or '
+                                          'group recycle); close and reopen the session')
                     self.state, masks, flags = self.step_fn(
                         self.server.params, self.state, jnp.asarray(frames),
                         jnp.asarray(queries), jnp.asarray(active))
@@ -288,7 +301,7 @@ class _BatchGroup:
                 for slot, box in batch.items():
                     box.mask = masks_np[slot]
                     box.flags = None if flags_np is None else flags_np[slot]
-            except ValueError as e:      # stale batch: sessions already invalidated
+            except _StaleBatch as e:     # sessions already invalidated; state untouched
                 for box in batch.values():
                     box.error = e
             except BaseException as e:   # noqa: BLE001 — surfaced per-request
@@ -319,6 +332,9 @@ class TrackerServer:
         slots and every device step serves ALL their pending frames at once (the per-step
         dispatch overhead amortizes over the active sessions). 1 = one dedicated B=1
         state + step per session (bit-identical to direct stream_step).
+    :param max_groups: cap on concurrently-live batch-group geometries.
+    :param max_cache_bytes: AGGREGATE KV-cache budget across all live batch groups
+        (client-chosen geometries are evicted-when-idle or rejected beyond it).
     '''
 
     def __init__(self, params, cfg, host: str = '127.0.0.1', port: int = 0,
@@ -444,34 +460,59 @@ class TrackerServer:
             self._step_cache[key] = jax.jit(_step, donate_argnums=(1,))
         return self._step_cache[key]
 
+    def _cache_bytes(self, tmax: int, slots: int) -> int:
+        bb = self.cfg.backbone_config()
+        itemsize = np.dtype(bb.compute_dtype).itemsize
+        return slots * bb.depth * 2 * bb.num_patches * bb.embed_dim * itemsize * tmax
+
     def _validate_geometry(self, window: Optional[int], pinned: int, tmax: int,
                            slots: int) -> None:
         '''The geometry comes from the client header, so bound it BEFORE any device
-        allocation: a single open must not be able to OOM the chip (max_groups alone only
-        caps the number of geometries, not their size).'''
+        allocation: no open may request more KV cache than the whole budget.'''
         if window is not None and not (window > pinned >= 1):
             raise ValueError(f'need window > pinned_frames >= 1, got '
                              f'window={window} pinned_frames={pinned}')
         if tmax < 1:
             raise ValueError(f'need at least one cache slot, got {tmax}')
-        bb = self.cfg.backbone_config()
-        itemsize = np.dtype(bb.compute_dtype).itemsize
-        cache_bytes = slots * bb.depth * 2 * bb.num_patches * bb.embed_dim * itemsize \
-            * tmax
+        cache_bytes = self._cache_bytes(tmax, slots)
         if cache_bytes > self.max_cache_bytes:
             raise ValueError(
                 f'requested geometry needs {cache_bytes / 2**30:.1f} GiB of KV cache '
                 f'(> {self.max_cache_bytes / 2**30:.1f} GiB limit); lower "window" or '
                 f'"max_frames"')
 
+    def _evict_for_capacity_locked(self, needed_bytes: int) -> None:
+        '''Caller holds _groups_lock. Evicts idle groups until BOTH the group-count cap
+        and the aggregate KV-cache byte budget admit one more group of `needed_bytes`;
+        raises if live (non-idle) groups alone exceed either bound — max_groups caps the
+        number of geometries, max_cache_bytes caps their TOTAL size (a per-group bound
+        alone would let a few distinct geometries OOM the chip).'''
+        def over():
+            total = sum(self._cache_bytes(g.tmax, g.slots)
+                        for g in self._groups.values())
+            return (len(self._groups) >= self.max_groups
+                    or total + needed_bytes > self.max_cache_bytes)
+        while over():
+            idle = next((k for k, g in self._groups.items() if g.idle()), None)
+            if idle is None:
+                raise ValueError(
+                    f'server at capacity ({len(self._groups)} active session '
+                    f'geometries); reuse an existing window/max_frames or retry later')
+            self._groups.pop(idle).stopped.set()
+
     def _open_session(self, header: Dict[str, Any]) -> _Session:
         window = int(header.get('window', 0)) or None
         pinned = int(header.get('pinned_frames', 1))
+        if window is None:
+            # pinned_frames is a dead parameter in unbounded mode (slot == frame index);
+            # normalize so clients cannot mint distinct group/jit-cache keys from it.
+            pinned = 1
         max_frames = int(header.get('max_frames', 0)) or self.default_max_frames
         capacity = None if window else max_frames
         tmax = window if window else max_frames
         if self.batch_slots > 1:
             self._validate_geometry(window, pinned, tmax, self.batch_slots)
+            needed = self._cache_bytes(tmax, self.batch_slots)
             key = (window, pinned, tmax)
             with self._groups_lock:
                 group = self._groups.get(key)
@@ -479,18 +520,7 @@ class TrackerServer:
                     del self._groups[key]
                     group = None
                 if group is None:
-                    # Each group pins batch_slots x full-KV-cache device memory, so bound
-                    # the live group count: evict idle groups first, reject the open if
-                    # none are idle.
-                    while len(self._groups) >= self.max_groups:
-                        idle = next((k for k, g in self._groups.items() if g.idle()),
-                                    None)
-                        if idle is None:
-                            raise ValueError(
-                                f'server at capacity ({self.max_groups} active session '
-                                f'geometries); reuse an existing window/max_frames or '
-                                f'retry later')
-                        self._groups.pop(idle).stopped.set()
+                    self._evict_for_capacity_locked(needed)
             if group is None:
                 # Create OUTSIDE _groups_lock: the constructor takes the device lock, and
                 # reload_params acquires _groups_lock while holding the device lock —
@@ -504,6 +534,14 @@ class TrackerServer:
                         new_group.stopped.set()   # lost the race; its dispatcher exits
                         group = existing
                     else:
+                        try:
+                            # Re-check under the lock: a concurrent open of a DIFFERENT
+                            # new geometry may have filled the capacity since the first
+                            # check (both raced through it at N-1 groups).
+                            self._evict_for_capacity_locked(needed)
+                        except ValueError:
+                            new_group.stopped.set()
+                            raise
                         self._groups[key] = new_group
                         group = new_group
                 if group is new_group and params_epoch_before != self._params_epoch:

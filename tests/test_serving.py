@@ -361,3 +361,39 @@ def test_oversized_geometry_rejected_before_allocation(batched_setup):
     # The connection survives and a sane open works.
     c.open(window=4)
     c.close()
+
+
+def test_aggregate_cache_budget_and_pinned_normalization(setup):
+    '''The KV budget bounds the SUM over live groups (not each group alone), and
+    pinned_frames cannot mint distinct unbounded-mode geometries.'''
+    cfg, params, _, _ = setup
+    server = serving.TrackerServer(params, cfg, port=0, batch_slots=2, max_groups=8)
+    # Budget that fits ONE 5-slot-window group (2 batch slots) but not two.
+    server.max_cache_bytes = int(server._cache_bytes(5, 2) * 1.5)
+    host, port = server.start()
+    try:
+        a = serving.TrackerClient(host, port)
+        a.open(window=5)
+        b = serving.TrackerClient(host, port)
+        with pytest.raises(RuntimeError, match='at capacity'):
+            b.open(window=4)   # second geometry would exceed the aggregate budget
+        a.close()
+        deadline = time.time() + 10
+        while time.time() < deadline and not all(
+                g.idle() for g in server._groups.values()):
+            time.sleep(0.02)
+        b2 = serving.TrackerClient(host, port)
+        b2.open(window=4)      # idle group evicted to fit the byte budget
+        assert len(server._groups) == 1
+        # Unbounded mode: pinned_frames is dead and must not create new geometries.
+        c1 = serving.TrackerClient(host, port)
+        c2 = serving.TrackerClient(host, port)
+        b2.close()
+        time.sleep(0.2)
+        c1.open(window=0, max_frames=3, pinned_frames=1)
+        c2.open(window=0, max_frames=3, pinned_frames=2)
+        assert sum(1 for (w, p, t) in server._groups if w is None) == 1
+        c1.close()
+        c2.close()
+    finally:
+        server.stop()
