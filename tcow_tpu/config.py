@@ -81,6 +81,11 @@ def train_args(argv=None):
                         help='Epoch interval for updating the latest checkpoint (the '
                              'reference saves every epoch; raise this when host<->device '
                              'bandwidth makes per-epoch state fetches expensive).')
+    parser.add_argument('--checkpoint_light', default=False, type=_str2bool,
+                        help='Per-epoch saves fetch and write model params ONLY (~1/3 of '
+                             'the bytes); the full resumable state (optimizer/rng/step) is '
+                             'still written every checkpoint_every epochs and at the end. '
+                             'Resuming from a light checkpoint reinitializes the optimizer.')
     parser.add_argument('--learn_rate', default=1e-4, type=float)
     parser.add_argument('--lr_decay', default=0.3, type=float)
     parser.add_argument('--do_val_aug', default=True, type=_str2bool)

@@ -80,6 +80,7 @@ def save_checkpoint(checkpoint_dir: str, epoch: int, name: str, params, opt_stat
         'train_args': train_args or {},
         'dset_args': dset_args or {},
         'seeker_args': seeker_args or {},
+        'light': opt_state is None,  # params-only save (--checkpoint_light)
         'format_version': 1,
     }
     payload['__meta__'] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
@@ -118,12 +119,20 @@ def load_checkpoint(path: str, state_template=None) -> Dict[str, Any]:
     out = dict(meta)
     params_flat = subtree('params')
     out['params'] = _nest_from_keystrs(params_flat)
+    # Light (params-only) checkpoints carry no optimizer state: restore what is present
+    # and keep the template's leaves for the rest (the caller decides whether to warn).
+    has_opt = any(k.startswith('opt_state') for k in flat)
+    out['opt_restored'] = has_opt
     if state_template is not None:
         restored = []
         for prefix, tree in (('params', state_template.params),
                              ('opt_state', state_template.opt_state),
                              ('rng', state_template.rng), ('step', state_template.step)):
-            restored.append(_unflatten_like(tree, subtree(prefix)))
+            flat_sub = subtree(prefix)
+            if flat_sub:
+                restored.append(_unflatten_like(tree, flat_sub))
+            else:
+                restored.append(tree)
         out['state'] = type(state_template)(*restored)
     return out
 

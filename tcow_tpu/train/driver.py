@@ -162,6 +162,9 @@ def main(args, logger):
             loaded = ckpt_lib.load_checkpoint(args.resume, state_template=state)
             state = loaded['state']
             start_epoch = int(loaded['epoch']) + 1
+            if not loaded.get('opt_restored', True):
+                logger.warning('Resuming from a params-only (--checkpoint_light) '
+                               'checkpoint: optimizer/LR-schedule state is REINITIALIZED.')
 
     train_step = jax.jit(step_lib.make_train_step(step_cfg, tx), donate_argnums=(0,))
     eval_step = jax.jit(step_lib.make_eval_step(step_cfg))
@@ -180,16 +183,29 @@ def main(args, logger):
         if epoch >= 0 and not final and epoch % save_every != 0 \
                 and epoch % args.checkpoint_every != 0:
             return
-        host_state = jax.device_get(state)  # must be sync (next step donates the buffers)
+        # --checkpoint_light: per-epoch saves fetch/write params only (~1/3 the bytes —
+        # the host<->device state fetch is the per-save fixed cost on slow links); the
+        # full resumable state still lands every checkpoint_every epochs and at the end.
+        full = (not getattr(args, 'checkpoint_light', False) or final or epoch < 0
+                or epoch % args.checkpoint_every == 0)
+        # Fetches must be sync (the next step donates the buffers).
+        if full:
+            host_state = jax.device_get(state)
+            host_params, host_opt = host_state.params, host_state.opt_state
+            host_rng, host_step = host_state.rng, host_state.step
+        else:
+            host_params = jax.device_get(state.params)
+            host_opt = host_rng = host_step = None
 
         def write():
             ckpt_lib.save_checkpoint(
-                args.checkpoint_path, epoch, args.name, host_state.params,
-                opt_state=host_state.opt_state, rng=host_state.rng, step=host_state.step,
+                args.checkpoint_path, epoch, args.name, host_params,
+                opt_state=host_opt, rng=host_rng, step=host_step,
                 train_args=config_lib.args_to_dict(args), dset_args=dset_args,
                 seeker_args=seeker_args, checkpoint_every=args.checkpoint_every,
                 is_debug=args.is_debug)
-            logger.info(f'Saved checkpoint for epoch {epoch}.')
+            logger.info(f'Saved checkpoint for epoch {epoch}'
+                        + ('' if full else ' (light, params only)') + '.')
 
         if ckpt_thread[0] is not None:
             ckpt_thread[0].join()  # never stack writes

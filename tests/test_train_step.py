@@ -3,6 +3,8 @@ Train-step tests: single-device smoke + overfit trend, NaN skip, data-parallel e
 the 8-device CPU mesh (equivalence with single-device), checkpoint roundtrip, LR schedule.
 '''
 
+import os
+
 import numpy as np
 import pytest
 import jax
@@ -136,6 +138,34 @@ def test_checkpoint_roundtrip(small_model, tmp_path):
     assert os.path.exists(os.path.join(d, 'checkpoint_epoch.txt'))
     assert os.path.exists(os.path.join(d, 'model_4.npz'))
     assert ckpt_lib.get_checkpoint_epoch(os.path.join(d, 'checkpoint.npz')) == 4
+
+
+def test_checkpoint_light_roundtrip(small_model, tmp_path):
+    '''--checkpoint_light saves params only; loading restores params into the template and
+    keeps the template's (fresh) optimizer state, flagged via opt_restored=False.'''
+    cfg, tx, state = make_cfg_and_state()
+    d = str(tmp_path / 'ckpt')
+    ckpt_lib.save_checkpoint(d, epoch=3, name='unit-light', params=state.params,
+                             opt_state=None, rng=None, step=None,
+                             seeker_args={'network_depth': 2})
+    _, _, template = make_cfg_and_state(seed=99)
+    loaded = ckpt_lib.load_checkpoint(
+        ckpt_lib.resolve_resume_path(str(tmp_path), 'ckpt'), state_template=template)
+    assert loaded['epoch'] == 3
+    assert loaded['light'] is True
+    assert loaded['opt_restored'] is False
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(loaded['state'].params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(template.opt_state),
+                    jax.tree_util.tree_leaves(loaded['state'].opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # A full save reports opt_restored=True (the normal path is unchanged).
+    ckpt_lib.save_checkpoint(d, epoch=4, name='unit-light', params=state.params,
+                             opt_state=state.opt_state, rng=state.rng, step=state.step)
+    loaded2 = ckpt_lib.load_checkpoint(os.path.join(d, 'checkpoint.npz'),
+                                       state_template=template)
+    assert loaded2['opt_restored'] is True and loaded2['light'] is False
 
 
 def test_multistep_schedule():
