@@ -24,7 +24,11 @@ Wire protocol (stdlib-only, length-prefixed):
     {"cmd": "frame", "has_query": bool}       payload: rgb uint8 (H,W,3) [+ query uint8 (H,W)]
     {"cmd": "stats"} | {"cmd": "close"}
     {"cmd": "reload", "path": "..."}          hot-swap weights (needs params_loader);
-                                              invalidates every open session
+                                              invalidates every open session, unless the
+                                              server runs with migrate_sessions=True, in
+                                              which case live sessions are transparently
+                                              rebuilt (frame-ring replay) on their next
+                                              frame — zero-downtime swaps
   server -> client replies:
     open  -> {"ok", "session", "height", "width", "mask_channels", "flag_channels"}
     frame -> {"ok", "t", "flags": [..]|null}  payload: mask logits float16 (C,H,W)
@@ -86,7 +90,9 @@ class _StaleBatch(ValueError):
 class _Session:
     def __init__(self, sid: int, state, step_fn, capacity: Optional[int],
                  group: Optional['_BatchGroup'] = None, slot: int = -1,
-                 epoch: int = 0, params_epoch: int = 0):
+                 epoch: int = 0, params_epoch: int = 0,
+                 window: Optional[int] = None, pinned: int = 1,
+                 retain_frames: bool = False):
         self.sid = sid
         self.params_epoch = params_epoch
         self.state = state         # dedicated mode only (None when batched)
@@ -95,7 +101,24 @@ class _Session:
         self.group = group         # batched mode: continuous-batching group + slot
         self.slot = slot
         self.epoch = epoch         # group epoch at open; stale => caches were lost
+        self.window = window
+        self.pinned = pinned
         self.t = 0
+        # Migration ring (migrate_sessions=True): the frames whose KV the device cache
+        # still holds, kept host-side as received (uint8; None = no query on that frame).
+        # Windowed sessions retain the pinned prefix + the last (window - pinned) frames —
+        # exactly mirroring the device cache's own retention, so a replay reconstructs
+        # everything the model could still attend to. ~window * H*W*3 bytes per session.
+        self.retain_frames = retain_frames
+        self.ring: list = []
+
+    def retain(self, rgb_u8: np.ndarray, qmask_u8: np.ndarray) -> None:
+        if not self.retain_frames:
+            return
+        self.ring.append((rgb_u8, qmask_u8 if qmask_u8.any() else None))
+        if self.window is not None and len(self.ring) > self.window:
+            self.ring = self.ring[:self.pinned] \
+                + self.ring[-(self.window - self.pinned):]
 
 
 class _FrameBox:
@@ -340,12 +363,19 @@ class TrackerServer:
     def __init__(self, params, cfg, host: str = '127.0.0.1', port: int = 0,
                  default_max_frames: Optional[int] = None, batch_slots: int = 1,
                  max_groups: int = 4, params_loader=None,
-                 max_cache_bytes: int = 8 << 30):
+                 max_cache_bytes: int = 8 << 30, migrate_sessions: bool = False):
         import jax
         from tcow_tpu.models import streaming
         assert cfg.causal_attention == 1, 'serving requires causal_attention == 1'
         assert batch_slots >= 1, batch_slots
         self.max_cache_bytes = max_cache_bytes
+        # Zero-downtime swaps: when True, a session whose device cache was invalidated (a
+        # weight reload, or a group recycle after a failed step) is migrated transparently
+        # on its next frame — its retained frame ring is replayed through the new weights
+        # to rebuild the cache — instead of erroring with "close and reopen". Costs
+        # O(window) host memory per session and O(window) device steps per migration.
+        self.migrate_sessions = migrate_sessions
+        self._migrations = 0
         # Optional `path -> params pytree` callback enabling the 'reload' command
         # (checkpoint hot-swap without restarting the server). None disables it.
         self.params_loader = params_loader
@@ -422,9 +452,10 @@ class TrackerServer:
         '''Checkpoint hot-swap: replace the served weights without restarting the server.
         Live sessions' KV caches were computed under the OLD weights, so mixing would be
         silently inconsistent — instead every open session is invalidated (its next frame
-        gets a clean "reopen" error) and new sessions use the new weights. Compiled step
-        functions are geometry-keyed, not weight-keyed, so nothing recompiles. Returns the
-        new params epoch.
+        gets a clean "reopen" error, or — with migrate_sessions=True — a transparent
+        rebuild that replays the session's retained frames through the new weights) and
+        new sessions use the new weights. Compiled step functions are geometry-keyed, not
+        weight-keyed, so nothing recompiles. Returns the new params epoch.
 
         Atomicity: the params swap, the dedicated-session epoch bump, and every group's
         recycle all happen under ONE device-lock hold, and both step paths re-check their
@@ -554,7 +585,9 @@ class TrackerServer:
                 self._next_sid += 1
                 self._active_sessions += 1
             return _Session(sid, None, None, capacity, group=group, slot=slot,
-                            epoch=epoch, params_epoch=self._params_epoch)
+                            epoch=epoch, params_epoch=self._params_epoch,
+                            window=window, pinned=pinned,
+                            retain_frames=self.migrate_sessions)
         self._validate_geometry(window, pinned, tmax, 1)
         state = self._streaming.init_stream(
             self.params, self.cfg, batch_size=1,
@@ -565,22 +598,16 @@ class TrackerServer:
             self._next_sid += 1
             self._active_sessions += 1
         return _Session(sid, state, self._get_step_fn(window, pinned),
-                        capacity=capacity, params_epoch=self._params_epoch)
+                        capacity=capacity, params_epoch=self._params_epoch,
+                        window=window, pinned=pinned,
+                        retain_frames=self.migrate_sessions)
 
     def _run_frame(self, sess: _Session, rgb_u8: np.ndarray, qmask_u8: np.ndarray):
         '''rgb_u8 (1, 3, H, W) uint8, qmask_u8 (1, 1, H, W) uint8 (0 when no query).'''
         import jax.numpy as jnp
         t0 = time.time()
         if sess.group is not None:
-            box = sess.group.submit(sess.slot, sess.epoch, rgb_u8, qmask_u8)
-            box.done.wait()
-            if box.error is not None:
-                if isinstance(box.error, (ValueError, AssertionError)):
-                    raise box.error
-                # Backstop: surface unexpected error types as application errors so the
-                # connection survives per the protocol contract.
-                raise ValueError(f'device step failed: {box.error}')
-            mask_np, flags_np = box.mask, box.flags
+            mask_np, flags_np = self._batched_frame(sess, rgb_u8, qmask_u8)
         else:
             rgb = rgb_u8.astype(np.float32) / 255.0
             qmask = (qmask_u8 > 127).astype(np.float32)
@@ -589,19 +616,95 @@ class TrackerServer:
                 # the epoch under this lock, so the check and the step are atomic wrt it
                 # (old caches never mix with new weights).
                 if sess.params_epoch != self._params_epoch:
-                    raise ValueError('weights were reloaded; close and reopen the '
-                                     'session')
+                    if not self.migrate_sessions:
+                        raise ValueError('weights were reloaded; close and reopen the '
+                                         'session')
+                    self._replay_dedicated_locked(sess)
                 state, mask_logits, flags = sess.step_fn(
                     self.params, sess.state, jnp.asarray(rgb), jnp.asarray(qmask))
                 sess.state = state
                 mask_np = np.asarray(mask_logits[0], np.float16)
                 flags_np = None if flags is None else np.asarray(flags[0], np.float32)
+        sess.retain(rgb_u8, qmask_u8)
         dt_ms = (time.time() - t0) * 1e3
         with self._sessions_lock:
             self._frames_served += 1
             self._ema_ms = dt_ms if self._ema_ms is None else \
                 0.9 * self._ema_ms + 0.1 * dt_ms
         return mask_np, flags_np
+
+    def _batched_frame(self, sess: _Session, rgb_u8: np.ndarray, qmask_u8: np.ndarray):
+        '''One frame through the continuous-batching path, transparently migrating the
+        session first when its group state was invalidated (weight reload / recycle) and
+        migrate_sessions is on. Bounded retries: reloads can land mid-flight.'''
+        group = sess.group
+        for _ in range(3):
+            stale = (sess.params_epoch != self._params_epoch
+                     or sess.epoch != group.epoch)
+            if stale or group.stopped.is_set():
+                if not self.migrate_sessions or group.stopped.is_set():
+                    raise ValueError('session state was lost (weight reload, device '
+                                     'error, or group eviction); close and reopen the '
+                                     'session')
+                self._migrate_batched(sess)
+            try:
+                box = group.submit(sess.slot, sess.epoch, rgb_u8, qmask_u8)
+            except ValueError:
+                if not self.migrate_sessions:
+                    raise
+                continue   # a recycle landed between the check and the submit
+            box.done.wait()
+            if box.error is None:
+                return box.mask, box.flags
+            if isinstance(box.error, _StaleBatch) and self.migrate_sessions:
+                continue   # invalidated mid-flight; migrate and resubmit this frame
+            if isinstance(box.error, (ValueError, AssertionError)):
+                raise box.error
+            # Backstop: surface unexpected error types as application errors so the
+            # connection survives per the protocol contract.
+            raise ValueError(f'device step failed: {box.error}')
+        raise ValueError('session migration kept racing reloads/recycles; close and '
+                         'reopen the session')
+
+    def _migrate_batched(self, sess: _Session) -> None:
+        '''Rebuild a batched session on the CURRENT group state/weights: allocate a fresh
+        slot and replay the retained frame ring through the normal submit path (replays
+        from concurrently-migrating sessions fold into shared batched steps). The rebuilt
+        cache equals a fresh session fed the retained subsequence under the new weights.'''
+        H, W = self.cfg.frame_height, self.cfg.frame_width
+        # No-op when the group epoch moved (the recycle already reclaimed every slot);
+        # frees our slot in the params-epoch-only corner so we never hold two.
+        sess.group.release_slot(sess.slot, sess.epoch)
+        sess.slot, sess.epoch = sess.group.alloc_slot()
+        sess.params_epoch = self._params_epoch
+        for rgb_u8, q in sess.ring:
+            qm = q if q is not None else np.zeros((1, 1, H, W), np.uint8)
+            box = sess.group.submit(sess.slot, sess.epoch, rgb_u8, qm)
+            box.done.wait()
+            if box.error is not None:
+                raise ValueError('session migration replay failed; close and reopen '
+                                 f'the session [{box.error}]')
+        with self._sessions_lock:
+            self._migrations += 1
+
+    def _replay_dedicated_locked(self, sess: _Session) -> None:
+        '''Caller holds the device lock (so no reload can interleave). Rebuilds a
+        dedicated session's stream state under the current weights by replaying the
+        retained frame ring.'''
+        import jax.numpy as jnp
+        state = self._streaming.init_stream(
+            self.params, self.cfg, batch_size=1,
+            max_frames=sess.capacity if sess.window is None else None,
+            window=sess.window, pinned_frames=sess.pinned)
+        for rgb_u8, q in sess.ring:
+            rgb = jnp.asarray(rgb_u8.astype(np.float32) / 255.0)
+            qm = (q > 127).astype(np.float32) if q is not None \
+                else np.zeros(rgb_u8.shape[:1] + (1,) + rgb_u8.shape[2:], np.float32)
+            state, _, _ = sess.step_fn(self.params, state, rgb, jnp.asarray(qm))
+        sess.state = state
+        sess.params_epoch = self._params_epoch
+        with self._sessions_lock:
+            self._migrations += 1
 
     # -- connection handling ---------------------------------------------------
 
@@ -679,6 +782,7 @@ class TrackerServer:
                                             'frames_served': self._frames_served,
                                             'ms_per_frame_ema': self._ema_ms,
                                             'params_epoch': self._params_epoch,
+                                            'migrations': self._migrations,
                                             'batch_groups': groups})
                     elif cmd == 'reload':
                         if self.params_loader is None:

@@ -342,6 +342,79 @@ def test_weight_hot_reload(setup):
             server.stop()
 
 
+def test_session_migration_across_reload(setup):
+    '''migrate_sessions=True: a weight reload no longer kills live sessions — their next
+    frame transparently rebuilds the cache by replaying the retained frame ring through
+    the NEW weights, so post-reload outputs equal a fresh session under the new weights
+    fed the retained subsequence (dedicated and batched modes).'''
+    cfg, params, _, _ = setup
+    params_b = mt.init_params(jax.random.key(99), cfg)
+    registry = {'ckpt_b': params_b}
+    T, H, W = 5, cfg.frame_height, cfg.frame_width
+    rgb, q = _frames(78, T, H, W)
+    k = 3  # frames served before the reload (all retained: window=4 keeps 1 pinned + 3)
+    ref_b = _reference_stream(params_b, cfg, rgb, q, window=4)
+    for slots in (1, 2):
+        server = serving.TrackerServer(params, cfg, port=0, batch_slots=slots,
+                                       params_loader=registry.__getitem__,
+                                       migrate_sessions=True)
+        host, port = server.start()
+        try:
+            c = serving.TrackerClient(host, port)
+            c.open(window=4)
+            for t in range(k):
+                c.track(rgb[t], query_mask=q if t == 0 else None)
+            admin = serving.TrackerClient(host, port)
+            assert admin.reload('ckpt_b') == 1
+            # The same session keeps streaming; frames k.. match the new-weights stream.
+            for t in range(k, T):
+                m, _, tt = c.track(rgb[t])
+                assert tt == t   # client-visible timeline is continuous
+                np.testing.assert_allclose(np.asarray(m, np.float32),
+                                           np.asarray(ref_b[0][t], np.float32),
+                                           rtol=2e-3, atol=2e-3)
+            assert c.stats()['migrations'] == 1
+            c.close()
+            admin.close()
+        finally:
+            server.stop()
+
+
+def test_migration_ring_trim_matches_window_retention(setup):
+    '''When more frames streamed than the window holds, migration replays exactly what the
+    device cache retains: the pinned prefix + the last (window - pinned) frames.'''
+    cfg, params, _, _ = setup
+    params_b = mt.init_params(jax.random.key(98), cfg)
+    registry = {'ckpt_b': params_b}
+    H, W = cfg.frame_height, cfg.frame_width
+    window, fed = 4, 6
+    rgb, q = _frames(79, fed + 1, H, W)
+    # Expected: new weights fed the RETAINED subsequence [0] + [3,4,5], then frame 6.
+    keep = [0] + list(range(fed - (window - 1), fed))
+    sub = np.stack([rgb[i] for i in keep + [fed]])
+    ref_b = _reference_stream(params_b, cfg, sub, q, window=window)
+    server = serving.TrackerServer(params, cfg, port=0,
+                                   params_loader=registry.__getitem__,
+                                   migrate_sessions=True)
+    host, port = server.start()
+    try:
+        c = serving.TrackerClient(host, port)
+        c.open(window=window)
+        for t in range(fed):
+            c.track(rgb[t], query_mask=q if t == 0 else None)
+        admin = serving.TrackerClient(host, port)
+        admin.reload('ckpt_b')
+        m, _, tt = c.track(rgb[fed])
+        assert tt == fed
+        np.testing.assert_allclose(np.asarray(m, np.float32),
+                                   np.asarray(ref_b[0][-1], np.float32),
+                                   rtol=2e-3, atol=2e-3)
+        c.close()
+        admin.close()
+    finally:
+        server.stop()
+
+
 def test_reload_disabled_without_loader(setup):
     cfg, params, host, port = setup
     c = serving.TrackerClient(host, port)

@@ -51,7 +51,8 @@ def run_server(a):
     server = TrackerServer(params, cfg, host=a.host, port=a.port,
                            default_max_frames=a.max_frames or None,
                            batch_slots=a.batch_slots,
-                           params_loader=load_same_geometry if a.allow_reload else None)
+                           params_loader=load_same_geometry if a.allow_reload else None,
+                           migrate_sessions=a.migrate_sessions)
     host, port = server.start()
     logger.info(f'serving {a.resume} on {host}:{port} '
                 f'({cfg.frame_height}x{cfg.frame_width}, backend {jax.default_backend()}); '
@@ -124,6 +125,9 @@ def main():
     p.add_argument('--checkpoint_root', default='checkpoints/')
     p.add_argument('--max_frames', type=int, default=0,
                    help='cache slots for unbounded (window=0) sessions')
+    p.add_argument('--migrate_sessions', action='store_true',
+                   help='zero-downtime weight reloads: live sessions are transparently '
+                        'rebuilt (retained-frame replay) instead of erroring with reopen')
     p.add_argument('--allow_reload', action='store_true',
                    help='enable the "reload" command (checkpoint hot-swap)')
     p.add_argument('--batch_slots', type=int, default=1,
@@ -138,7 +142,13 @@ def main():
     p.add_argument('--client_frames', type=int, default=0,
                    help='stop the demo client after this many frames (0 = whole video)')
     p.add_argument('--out', default='serve_out.webm')
+    p.add_argument('--device', default='',
+                   help="'cpu' forces the CPU backend (debugging; the env pins the TPU)")
     a = p.parse_args()
+    if a.device == 'cpu':
+        os.environ['JAX_PLATFORMS'] = 'cpu'
+        import jax
+        jax.config.update('jax_platforms', 'cpu')
     if a.client:
         run_client(a)
     else:
