@@ -81,6 +81,10 @@ def train_args(argv=None):
                         help='Epoch interval for updating the latest checkpoint (the '
                              'reference saves every epoch; raise this when host<->device '
                              'bandwidth makes per-epoch state fetches expensive).')
+    parser.add_argument('--preempt_save', default=True, type=_str2bool,
+                        help='On SIGTERM (preemption/timeout), finish the current step, '
+                             'write a FULL mid-epoch checkpoint, and exit cleanly; '
+                             '--resume continues that epoch at the exact step.')
     parser.add_argument('--checkpoint_light', default=False, type=_str2bool,
                         help='Per-epoch saves fetch and write model params ONLY (~1/3 of '
                              'the bytes); the full resumable state (optimizer/rng/step) is '

@@ -101,13 +101,20 @@ class PrefetchLoader:
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def __iter__(self):
+        return self.iter_batches(0)
+
+    def iter_batches(self, start_step: int = 0):
+        '''Iterate this epoch's batches from `start_step` onward. The batch ORDER is a
+        pure function of (seed, epoch), so a mid-epoch resume (preemption checkpoint)
+        skips the first `start_step` batches without loading a single item and visits
+        exactly the examples the interrupted run had left.'''
         rng = np.random.default_rng(self.seed * 77 + self.epoch)
         order = np.arange(len(self.dataset))
         if self.shuffle:
             rng.shuffle(order)
         n_batches = len(self)
         batches = [order[i * self.batch_size:(i + 1) * self.batch_size]
-                   for i in range(n_batches)]
+                   for i in range(start_step, n_batches)]
         if self.shard_count > 1:
             b_local = self.batch_size // self.shard_count
             lo = self.shard_rank * b_local

@@ -64,9 +64,15 @@ def save_checkpoint(checkpoint_dir: str, epoch: int, name: str, params, opt_stat
                     rng=None, step=None, train_args: Optional[Dict[str, Any]] = None,
                     dset_args: Optional[Dict[str, Any]] = None,
                     seeker_args: Optional[Dict[str, Any]] = None,
-                    checkpoint_every: int = 2, is_debug: bool = False) -> str:
+                    checkpoint_every: int = 2, is_debug: bool = False,
+                    steps_done: Optional[int] = None) -> str:
     '''Writes checkpoint.npz (+ model_{epoch}.npz snapshot per checkpoint_every) with the
-    reference's sidecar files. Returns the main checkpoint path.'''
+    reference's sidecar files. Returns the main checkpoint path.
+
+    steps_done: mid-epoch (preemption) save — `epoch` is the IN-PROGRESS epoch and
+    steps_done train steps of it are complete; resume continues that epoch at that step
+    (the batch order is deterministic per (seed, epoch)). No model_{epoch} snapshot is
+    written for partial saves.'''
     os.makedirs(checkpoint_dir, exist_ok=True)
     payload = {}
     for prefix, tree in (('params', params), ('opt_state', opt_state),
@@ -81,6 +87,8 @@ def save_checkpoint(checkpoint_dir: str, epoch: int, name: str, params, opt_stat
         'dset_args': dset_args or {},
         'seeker_args': seeker_args or {},
         'light': opt_state is None,  # params-only save (--checkpoint_light)
+        'partial': steps_done is not None,
+        'steps_done_in_epoch': int(steps_done) if steps_done is not None else 0,
         'format_version': 1,
     }
     payload['__meta__'] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
@@ -94,7 +102,7 @@ def save_checkpoint(checkpoint_dir: str, epoch: int, name: str, params, opt_stat
                    np.array([epoch], dtype=np.int32), fmt='%d')
         with open(os.path.join(checkpoint_dir, 'checkpoint_name.txt'), 'w') as f:
             f.write(name + '\n')
-    if epoch % checkpoint_every == 0 or epoch < 0:
+    if steps_done is None and (epoch % checkpoint_every == 0 or epoch < 0):
         snap = os.path.join(checkpoint_dir, f'model_{epoch}.npz')
         if os.path.exists(snap):
             os.remove(snap)

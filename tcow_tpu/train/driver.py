@@ -10,6 +10,8 @@ tolerated exceptions per epoch (train.py:77-84), '*ba*' runs checkpointing befor
 '''
 
 import random
+import signal
+import threading
 import time
 from typing import Any, Dict
 
@@ -148,6 +150,7 @@ def main(args, logger):
     state = step_lib.init_train_state(rng, step_cfg, tx, params=params)
 
     start_epoch = 0
+    start_step = 0   # mid-epoch resume point (preemption checkpoints)
     if args.resume:
         logger.info('Loading weights from: ' + args.resume)
         if args.resume.endswith('.pth'):
@@ -161,7 +164,17 @@ def main(args, logger):
         else:
             loaded = ckpt_lib.load_checkpoint(args.resume, state_template=state)
             state = loaded['state']
-            start_epoch = int(loaded['epoch']) + 1
+            if loaded.get('partial'):
+                # Preemption checkpoint: epoch `epoch` is in progress with steps_done
+                # complete; continue it at that step (the batch order is deterministic).
+                start_epoch = int(loaded['epoch'])
+                start_step = int(loaded.get('steps_done_in_epoch', 0))
+                if start_step >= steps_per_epoch:   # dataset/batch size changed
+                    start_epoch, start_step = start_epoch + 1, 0
+                logger.info(f'Resuming mid-epoch: epoch {start_epoch} at step '
+                            f'{start_step}/{steps_per_epoch} (preemption checkpoint).')
+            else:
+                start_epoch = int(loaded['epoch']) + 1
             if not loaded.get('opt_restored', True):
                 logger.warning('Resuming from a params-only (--checkpoint_light) '
                                'checkpoint: optimizer/LR-schedule state is REINITIALIZED.')
@@ -174,20 +187,21 @@ def main(args, logger):
     import threading
     ckpt_thread = [None]
 
-    def checkpoint_fn(epoch, final: bool = False):
+    def checkpoint_fn(epoch, final: bool = False, steps_done=None):
         if not args.checkpoint_path:
             return
         if jax.process_index() != 0:
             return  # multi-host: one writer (state is replicated; shared-FS race otherwise)
         save_every = max(getattr(args, 'save_every', 1), 1)
-        if epoch >= 0 and not final and epoch % save_every != 0 \
-                and epoch % args.checkpoint_every != 0:
+        if epoch >= 0 and not final and steps_done is None \
+                and epoch % save_every != 0 and epoch % args.checkpoint_every != 0:
             return
         # --checkpoint_light: per-epoch saves fetch/write params only (~1/3 the bytes —
         # the host<->device state fetch is the per-save fixed cost on slow links); the
         # full resumable state still lands every checkpoint_every epochs and at the end.
+        # A mid-epoch (preemption) save is always full: it IS the state to resume from.
         full = (not getattr(args, 'checkpoint_light', False) or final or epoch < 0
-                or epoch % args.checkpoint_every == 0)
+                or steps_done is not None or epoch % args.checkpoint_every == 0)
         # Fetches must be sync (the next step donates the buffers).
         if full:
             host_state = jax.device_get(state)
@@ -203,53 +217,94 @@ def main(args, logger):
                 opt_state=host_opt, rng=host_rng, step=host_step,
                 train_args=config_lib.args_to_dict(args), dset_args=dset_args,
                 seeker_args=seeker_args, checkpoint_every=args.checkpoint_every,
-                is_debug=args.is_debug)
+                is_debug=args.is_debug, steps_done=steps_done)
             logger.info(f'Saved checkpoint for epoch {epoch}'
-                        + ('' if full else ' (light, params only)') + '.')
+                        + ('' if full else ' (light, params only)')
+                        + ('' if steps_done is None
+                           else f' (mid-epoch, {steps_done} steps)') + '.')
 
         if ckpt_thread[0] is not None:
             ckpt_thread[0].join()  # never stack writes
         # Disk IO overlaps the next epoch (atomic tmp+rename keeps readers safe).
         ckpt_thread[0] = threading.Thread(target=write, daemon=False)
         ckpt_thread[0].start()
-        if final:
+        if final or steps_done is not None:
             ckpt_thread[0].join()
 
     if 'ba' in args.name and start_epoch <= 0:
         checkpoint_fn(-1)  # save-before-any-training runs (train.py:123-125)
 
+    # Preemption safety (--preempt_save, on by default): SIGTERM — the signal TPU
+    # preemption, SLURM, and `timeout` send — finishes the in-flight step, writes a FULL
+    # mid-epoch checkpoint, and exits cleanly; --resume continues that epoch at that step.
+    # Multi-host: every process checks process 0's flag through a tiny per-step broadcast
+    # (see _run_one_epoch), so all processes leave the SPMD step loop at the SAME step.
+    stop_event = threading.Event()
+    old_sigterm = None
+    if getattr(args, 'preempt_save', True) \
+            and threading.current_thread() is threading.main_thread():
+        def _on_sigterm(signum, frame):
+            stop_event.set()
+            logger.warning('SIGTERM received: finishing the current step, writing a '
+                           'mid-epoch checkpoint, then exiting.')
+        old_sigterm = signal.signal(signal.SIGTERM, _on_sigterm)
+
     total_steps_all = args.num_epochs * steps_per_epoch
-    with jax.set_mesh(mesh):
-        for epoch in range(start_epoch, args.num_epochs):
-            state = _run_one_epoch(args, logger, mesh, state, train_step, None,
-                                   train_loader, 'train', epoch, steps_per_epoch,
-                                   total_steps_all, vis_step=vis_step)
-            checkpoint_fn(epoch, final=(epoch == args.num_epochs - 1))
-            logger.epoch_finished(epoch)
-            if epoch % args.val_every == 0:
-                if args.do_val_aug and val_aug_loader is not None:
-                    _run_one_epoch(args, logger, mesh, state, None, eval_step,
-                                   val_aug_loader, 'val_aug', epoch, steps_per_epoch,
-                                   total_steps_all)
-                if args.do_val_noaug and val_noaug_loader is not None:
-                    _run_one_epoch(args, logger, mesh, state, None, eval_step,
-                                   val_noaug_loader, 'val_noaug', epoch, steps_per_epoch,
-                                   total_steps_all)
+    try:
+        with jax.set_mesh(mesh):
+            for epoch in range(start_epoch, args.num_epochs):
+                if stop_event.is_set():   # signal landed during a val phase
+                    logger.warning(f'Preempted: exiting before epoch {epoch}.')
+                    break
+                ep_start = start_step if epoch == start_epoch else 0
+                state, steps_done = _run_one_epoch(
+                    args, logger, mesh, state, train_step, None, train_loader, 'train',
+                    epoch, steps_per_epoch, total_steps_all, vis_step=vis_step,
+                    start_step=ep_start, stop_event=stop_event)
+                if stop_event.is_set() and steps_done < steps_per_epoch:
+                    checkpoint_fn(epoch, steps_done=steps_done)
+                    logger.warning(f'Preempted: mid-epoch checkpoint at epoch {epoch}, '
+                                   f'step {steps_done}/{steps_per_epoch}; exiting.')
+                    break
+                checkpoint_fn(epoch, final=(epoch == args.num_epochs - 1))
                 logger.epoch_finished(epoch)
+                if stop_event.is_set():
+                    logger.warning(f'Preempted: exiting after completed epoch {epoch}.')
+                    break
+                if epoch % args.val_every == 0:
+                    if args.do_val_aug and val_aug_loader is not None:
+                        _run_one_epoch(args, logger, mesh, state, None, eval_step,
+                                       val_aug_loader, 'val_aug', epoch, steps_per_epoch,
+                                       total_steps_all, stop_event=stop_event)
+                    if args.do_val_noaug and val_noaug_loader is not None:
+                        _run_one_epoch(args, logger, mesh, state, None, eval_step,
+                                       val_noaug_loader, 'val_noaug', epoch,
+                                       steps_per_epoch, total_steps_all,
+                                       stop_event=stop_event)
+                    logger.epoch_finished(epoch)
+    finally:
+        if old_sigterm is not None:
+            signal.signal(signal.SIGTERM, old_sigterm)
     logger.info('Training done.')
     return state
 
 
 def _run_one_epoch(args, logger, mesh, state, train_step, eval_step, loader, phase, epoch,
-                   steps_per_epoch, total_steps_all, vis_step=None):
+                   steps_per_epoch, total_steps_all, vis_step=None, start_step=0,
+                   stop_event=None):
+    '''Returns (state, steps_done) where steps_done counts completed steps of this epoch
+    INCLUDING the skipped prefix (start_step, a mid-epoch resume point). stop_event set ->
+    leave after the in-flight step completes (preemption checkpointing).'''
     import jax
     import jax.numpy as jnp
     logger.info('=' * 32)
-    logger.info(f'Epoch (1-based): {epoch + 1} / {args.num_epochs}  phase: {phase}')
+    logger.info(f'Epoch (1-based): {epoch + 1} / {args.num_epochs}  phase: {phase}'
+                + (f'  (resuming at step {start_step})' if start_step else ''))
     loader.set_epoch(epoch)
     start_time = time.time()
     num_exceptions = 0
     is_train = (phase == 'train')
+    multihost = jax.process_count() > 1
 
     profile_dir = getattr(args, 'profile_dir', '')
     profile_start = min(2, max(len(loader) - 1, 0))  # short epochs still get a trace
@@ -260,9 +315,10 @@ def _run_one_epoch(args, logger, mesh, state, train_step, eval_step, loader, pha
     # device time surfaces at the one-step-lagged scalar fetch).
     t_wait = 0.0
     t_mark = time.time()
-    for cur_step, batch in enumerate(loader):
+    iterator = loader.iter_batches(start_step) if start_step else loader
+    for cur_step, batch in enumerate(iterator, start=start_step):
         t_wait += time.time() - t_mark
-        if cur_step == 0:
+        if cur_step == start_step:
             logger.info(f'Enter first data loader iteration took '
                         f'{time.time() - start_time:.3f}s')
         # Trace a few steady-state steps once (SURVEY.md section 5.1: the TPU-native
@@ -314,13 +370,29 @@ def _run_one_epoch(args, logger, mesh, state, train_step, eval_step, loader, pha
         if cur_step >= 100 and args.is_debug:
             logger.warning('Cutting epoch short for debugging...')
             break
+        if stop_event is not None:
+            stop = stop_event.is_set()
+            if multihost:
+                # All processes reach this broadcast at the SAME cur_step, so everyone
+                # agrees on the exit step (process 0 decides) and no SPMD program is
+                # dispatched by a subset of hosts. ~1 scalar transfer per step over DCN.
+                from jax.experimental import multihost_utils
+                stop = bool(multihost_utils.broadcast_one_to_all(
+                    np.int32(stop if jax.process_index() == 0 else 0)))
+                if stop:
+                    stop_event.set()
+            if stop:
+                logger.warning(f'[{phase}] stopping after step {cur_step} '
+                               f'(preemption requested).')
+                break
         t_mark = time.time()
     if pending_aux is not None:
         _log_step_scalars(logger, phase, epoch, pending_step, len(loader), pending_aux)
     if tracing:
         jax.profiler.stop_trace()
     wall = time.time() - start_time
-    n_steps = pending_step + 1
+    steps_done = max(pending_step + 1, start_step)
+    n_steps = steps_done - start_step
     logger.info(f'[{phase}] epoch {epoch} wall {wall:.1f}s over {n_steps} steps: '
                 f'loader wait {t_wait:.1f}s '
                 f'({t_wait / max(wall, 1e-9) * 100:.0f}%), step+log '
@@ -328,7 +400,7 @@ def _run_one_epoch(args, logger, mesh, state, train_step, eval_step, loader, pha
                 f'{"loader" if t_wait > wall - t_wait else "device"}-bound')
     logger.report_scalar(f'{phase}/loader_wait_frac', t_wait / max(wall, 1e-9))
     logger.commit_scalars(step=epoch)
-    return state
+    return state, steps_done
 
 
 def _render_train_overlays(logger, args, phase, epoch, cur_step, total_step,

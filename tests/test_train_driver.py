@@ -108,6 +108,90 @@ def test_driver_trains_and_resumes(synth_root, tmp_path, tiny_preset, monkeypatc
     assert os.path.exists(os.path.join(str(tmp_path / 'logs'), 'tdrv1', 'args_train.txt'))
 
 
+def test_loader_iter_batches_skips_deterministically():
+    '''iter_batches(k) yields exactly the batches the full epoch order has at [k:], without
+    touching the skipped items (mid-epoch preemption resume).'''
+    from tcow_tpu.data.factory import PrefetchLoader
+
+    touched = []
+
+    class _DS:
+        def __len__(self):
+            return 12
+
+        def __getitem__(self, i):
+            touched.append(i)
+            return i
+
+    loader = PrefetchLoader(_DS(), batch_size=2, collate_fn=list, shuffle=True,
+                            drop_last=True, num_workers=1, seed=5)
+    loader.set_epoch(3)
+    full = list(loader)
+    touched.clear()
+    tail = list(loader.iter_batches(2))
+    assert tail == full[2:]
+    assert sorted(touched) == sorted(sum(full[2:], []))  # skipped items never loaded
+    # A different epoch reshuffles.
+    loader.set_epoch(4)
+    assert list(loader) != full
+
+
+@pytest.fixture(scope='module')
+def synth_root6(tmp_path_factory):
+    root = tmp_path_factory.mktemp('kubric_synth6')
+    synthetic.write_synthetic_kubric_dataset(str(root), num_scenes=6, seed=13,
+                                             T=8, H=48, W=64, K=4)
+    return str(root)
+
+
+def test_preemption_checkpoint_and_midepoch_resume(synth_root6, tmp_path, tiny_preset,
+                                                   monkeypatch):
+    '''SIGTERM mid-epoch -> the driver finishes the in-flight step, writes a FULL partial
+    checkpoint (epoch + steps_done), and exits; --resume continues that epoch at that step
+    and completes the schedule with the correct total step count.'''
+    import os as _os
+    import signal as _signal
+    from tcow_tpu.train import driver
+    from tcow_tpu.train import checkpoint as ckpt_lib
+    from tcow_tpu.utils.logvis import MyLogger
+
+    # _log_step_scalars runs host-side once per completed step (one-step lag: step k is
+    # logged while step k+1 is processed), so signaling at the FIRST call lands during
+    # step 1 of epoch 0 -> the driver stops with 2 of 3 steps done (6 scenes / batch 2).
+    calls = []
+    real_log = driver._log_step_scalars
+
+    def log_and_signal(*a, **kw):
+        calls.append(1)
+        if len(calls) == 1:
+            _os.kill(_os.getpid(), _signal.SIGTERM)
+        return real_log(*a, **kw)
+
+    monkeypatch.setattr(driver, '_log_step_scalars', log_and_signal)
+    prev_handler = _signal.getsignal(_signal.SIGTERM)
+    args = make_args(synth_root6, tmp_path, name='tpre1')
+    args.avoid_wandb = 2
+    state = driver.main(args, MyLogger(args, context='train'))
+    assert int(np.asarray(state.step)) == 2
+    assert _signal.getsignal(_signal.SIGTERM) is prev_handler  # handler restored
+
+    ckpt_dir = os.path.join(str(tmp_path / 'checkpoints'), 'tpre1')
+    loaded = ckpt_lib.load_checkpoint(os.path.join(ckpt_dir, 'checkpoint.npz'))
+    assert loaded['partial'] is True
+    assert loaded['epoch'] == 0 and loaded['steps_done_in_epoch'] == 2
+    assert loaded['opt_restored'] is True   # preemption saves are always full
+    assert not os.path.exists(os.path.join(ckpt_dir, 'model_0.npz'))  # no partial snapshot
+
+    monkeypatch.setattr(driver, '_log_step_scalars', real_log)
+    args2 = make_args(synth_root6, tmp_path, name='tpre1', resume='tpre1')
+    args2.avoid_wandb = 2
+    state2 = driver.main(args2, MyLogger(args2, context='train'))
+    # Resumed at epoch 0 step 2: 1 remaining step + epoch 1's 3 = 6 total for the 2x3 run.
+    assert int(np.asarray(state2.step)) == 6
+    final = ckpt_lib.load_checkpoint(os.path.join(ckpt_dir, 'checkpoint.npz'))
+    assert final['partial'] is False and final['epoch'] == 1
+
+
 def test_multihost_smoke(synth_root, tmp_path, tiny_preset, monkeypatch):
     '''--multihost initializes jax.distributed before building the mesh (driver.py; the
     real coordinator env comes from the TPU runtime) and training proceeds single-process
