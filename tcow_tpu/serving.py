@@ -170,6 +170,7 @@ class _BatchGroup:
         self.reset_fn = jax.jit(streaming.reset_stream_slot, donate_argnums=(0,))
         self.free = list(range(slots))
         self.pending: Dict[int, _FrameBox] = {}
+        self.attached = 0   # open connections referencing this group (eviction guard)
         self.cond = threading.Condition()
         # Bumped whenever the device state is rebuilt after a failed step: sessions from
         # an older epoch have lost their caches and must reopen (see submit()).
@@ -253,6 +254,11 @@ class _BatchGroup:
 
     def idle(self) -> bool:
         with self.cond:
+            if self.server.migrate_sessions:
+                # After a recycle every slot is free, but sessions awaiting migration
+                # still reference this group — evicting it would break the zero-downtime
+                # contract for an unrelated open. Idle = no open connection at all.
+                return self.attached == 0
             return len(self.free) == self.slots
 
     def submit(self, slot: int, epoch: int, rgb: np.ndarray, qmask: np.ndarray
@@ -580,6 +586,8 @@ class TrackerServer:
                     # weights' caches (all empty, but be strict about the invariant).
                     group.recycle()
             slot, epoch = group.alloc_slot()
+            with group.cond:
+                group.attached += 1
             with self._sessions_lock:
                 sid = self._next_sid
                 self._next_sid += 1
@@ -638,6 +646,7 @@ class TrackerServer:
         session first when its group state was invalidated (weight reload / recycle) and
         migrate_sessions is on. Bounded retries: reloads can land mid-flight.'''
         group = sess.group
+        last_err = None
         for _ in range(3):
             stale = (sess.params_epoch != self._params_epoch
                      or sess.epoch != group.epoch)
@@ -646,7 +655,13 @@ class TrackerServer:
                     raise ValueError('session state was lost (weight reload, device '
                                      'error, or group eviction); close and reopen the '
                                      'session')
-                self._migrate_batched(sess)
+                try:
+                    self._migrate_batched(sess)
+                except ValueError as e:
+                    # A reload/recycle can land mid-replay; the session is left stale, so
+                    # the next attempt migrates again from scratch.
+                    last_err = e
+                    continue
             try:
                 box = group.submit(sess.slot, sess.epoch, rgb_u8, qmask_u8)
             except ValueError:
@@ -663,8 +678,9 @@ class TrackerServer:
             # Backstop: surface unexpected error types as application errors so the
             # connection survives per the protocol contract.
             raise ValueError(f'device step failed: {box.error}')
-        raise ValueError('session migration kept racing reloads/recycles; close and '
-                         'reopen the session')
+        raise last_err if last_err is not None else ValueError(
+            'session migration kept racing reloads/recycles; close and reopen the '
+            'session')
 
     def _migrate_batched(self, sess: _Session) -> None:
         '''Rebuild a batched session on the CURRENT group state/weights: allocate a fresh
@@ -682,7 +698,10 @@ class TrackerServer:
             box = sess.group.submit(sess.slot, sess.epoch, rgb_u8, qm)
             box.done.wait()
             if box.error is not None:
-                raise ValueError('session migration replay failed; close and reopen '
+                # Poison the session: a half-replayed slot must never serve a frame (all
+                # known failure modes also bump the group epoch, but be explicit).
+                sess.epoch = -1
+                raise ValueError('session migration replay failed; retrying or reopen '
                                  f'the session [{box.error}]')
         with self._sessions_lock:
             self._migrations += 1
@@ -813,6 +832,8 @@ class TrackerServer:
             if sess is not None:
                 if sess.group is not None:
                     sess.group.release_slot(sess.slot, sess.epoch)
+                    with sess.group.cond:
+                        sess.group.attached -= 1
                 with self._sessions_lock:
                     self._active_sessions -= 1
             conn.close()

@@ -94,7 +94,9 @@ def save_checkpoint(checkpoint_dir: str, epoch: int, name: str, params, opt_stat
     payload['__meta__'] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
 
     main_path = os.path.join(checkpoint_dir, 'checkpoint.npz')
-    if not is_debug or epoch % checkpoint_every == 0 or epoch < 0:
+    # Partial (preemption) saves bypass the is_debug thinning: they ARE the resume state.
+    if steps_done is not None or not is_debug or epoch % checkpoint_every == 0 \
+            or epoch < 0:
         tmp = main_path + '.tmp.npz'
         np.savez(tmp, **payload)
         os.replace(tmp, main_path)

@@ -184,7 +184,6 @@ def main(args, logger):
     vis_step = jax.jit(step_lib.make_vis_step(step_cfg))
     state = mesh_lib.replicate_tree(state, mesh)
 
-    import threading
     ckpt_thread = [None]
 
     def checkpoint_fn(epoch, final: bool = False, steps_done=None):
@@ -231,7 +230,9 @@ def main(args, logger):
         if final or steps_done is not None:
             ckpt_thread[0].join()
 
-    if 'ba' in args.name and start_epoch <= 0:
+    # start_step == 0 guard: a mid-epoch resume of a '*ba*' run must NOT overwrite its
+    # preemption checkpoint with an epoch=-1 save (the state already contains steps).
+    if 'ba' in args.name and start_epoch <= 0 and start_step == 0:
         checkpoint_fn(-1)  # save-before-any-training runs (train.py:123-125)
 
     # Preemption safety (--preempt_save, on by default): SIGTERM — the signal TPU
@@ -248,12 +249,15 @@ def main(args, logger):
             logger.warning('SIGTERM received: finishing the current step, writing a '
                            'mid-epoch checkpoint, then exiting.')
         old_sigterm = signal.signal(signal.SIGTERM, _on_sigterm)
+    else:
+        stop_event = None   # feature off: no per-step checks/broadcasts in the step loop
 
     total_steps_all = args.num_epochs * steps_per_epoch
     try:
         with jax.set_mesh(mesh):
             for epoch in range(start_epoch, args.num_epochs):
-                if stop_event.is_set():   # signal landed during a val phase
+                if stop_event is not None and stop_event.is_set():
+                    # signal landed during a val phase
                     logger.warning(f'Preempted: exiting before epoch {epoch}.')
                     break
                 ep_start = start_step if epoch == start_epoch else 0
@@ -261,14 +265,15 @@ def main(args, logger):
                     args, logger, mesh, state, train_step, None, train_loader, 'train',
                     epoch, steps_per_epoch, total_steps_all, vis_step=vis_step,
                     start_step=ep_start, stop_event=stop_event)
-                if stop_event.is_set() and steps_done < steps_per_epoch:
+                if stop_event is not None and stop_event.is_set() \
+                        and steps_done < steps_per_epoch:
                     checkpoint_fn(epoch, steps_done=steps_done)
                     logger.warning(f'Preempted: mid-epoch checkpoint at epoch {epoch}, '
                                    f'step {steps_done}/{steps_per_epoch}; exiting.')
                     break
                 checkpoint_fn(epoch, final=(epoch == args.num_epochs - 1))
                 logger.epoch_finished(epoch)
-                if stop_event.is_set():
+                if stop_event is not None and stop_event.is_set():
                     logger.warning(f'Preempted: exiting after completed epoch {epoch}.')
                     break
                 if epoch % args.val_every == 0:
@@ -305,6 +310,23 @@ def _run_one_epoch(args, logger, mesh, state, train_step, eval_step, loader, pha
     num_exceptions = 0
     is_train = (phase == 'train')
     multihost = jax.process_count() > 1
+
+    def check_stop() -> bool:
+        '''Must run EXACTLY ONCE per loop iteration on every host (including the
+        tolerated-exception path): on multihost it is a collective, and all processes
+        reaching it at the same cur_step is what guarantees everyone agrees on the exit
+        step (process 0 decides) and no SPMD program is dispatched by a subset of hosts.
+        ~1 scalar transfer per step over DCN.'''
+        if stop_event is None:
+            return False
+        stop = stop_event.is_set()
+        if multihost:
+            from jax.experimental import multihost_utils
+            stop = bool(multihost_utils.broadcast_one_to_all(
+                np.int32(stop if jax.process_index() == 0 else 0)))
+            if stop:
+                stop_event.set()
+        return stop
 
     profile_dir = getattr(args, 'profile_dir', '')
     profile_start = min(2, max(len(loader) - 1, 0))  # short epochs still get a trace
@@ -365,26 +387,19 @@ def _run_one_epoch(args, logger, mesh, state, train_step, eval_step, loader, pha
             if num_exceptions >= 20:
                 raise
             logger.exception(e)
+            if check_stop():   # keep the collective count aligned across hosts
+                logger.warning(f'[{phase}] stopping after failed step {cur_step} '
+                               f'(preemption requested).')
+                break
             t_mark = time.time()
             continue
         if cur_step >= 100 and args.is_debug:
             logger.warning('Cutting epoch short for debugging...')
             break
-        if stop_event is not None:
-            stop = stop_event.is_set()
-            if multihost:
-                # All processes reach this broadcast at the SAME cur_step, so everyone
-                # agrees on the exit step (process 0 decides) and no SPMD program is
-                # dispatched by a subset of hosts. ~1 scalar transfer per step over DCN.
-                from jax.experimental import multihost_utils
-                stop = bool(multihost_utils.broadcast_one_to_all(
-                    np.int32(stop if jax.process_index() == 0 else 0)))
-                if stop:
-                    stop_event.set()
-            if stop:
-                logger.warning(f'[{phase}] stopping after step {cur_step} '
-                               f'(preemption requested).')
-                break
+        if check_stop():
+            logger.warning(f'[{phase}] stopping after step {cur_step} '
+                           f'(preemption requested).')
+            break
         t_mark = time.time()
     if pending_aux is not None:
         _log_step_scalars(logger, phase, epoch, pending_step, len(loader), pending_aux)

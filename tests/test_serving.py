@@ -415,6 +415,43 @@ def test_migration_ring_trim_matches_window_retention(setup):
         server.stop()
 
 
+def test_migrate_pending_group_not_evicted(setup):
+    '''After a reload recycles a group (all slots free), open connections awaiting
+    migration still reference it: a new-geometry open must NOT evict it out from under
+    them (the zero-downtime contract), but closing the session frees it.'''
+    cfg, params, _, _ = setup
+    registry = {'ckpt_b': mt.init_params(jax.random.key(97), cfg)}
+    server = serving.TrackerServer(params, cfg, port=0, batch_slots=2, max_groups=1,
+                                   params_loader=registry.__getitem__,
+                                   migrate_sessions=True)
+    host, port = server.start()
+    try:
+        H, W = cfg.frame_height, cfg.frame_width
+        rgb, q = _frames(80, 2, H, W)
+        a = serving.TrackerClient(host, port)
+        a.open(window=4)
+        a.track(rgb[0], query_mask=q)
+        admin = serving.TrackerClient(host, port)
+        admin.reload('ckpt_b')   # recycles the group; a awaits migration
+        b = serving.TrackerClient(host, port)
+        with pytest.raises(RuntimeError, match='at capacity'):
+            b.open(window=5)     # would evict a's group under max_groups=1
+        m, _, tt = a.track(rgb[1])   # migration still works after the denied open
+        assert tt == 1 and m is not None
+        a.close()
+        deadline = time.time() + 10
+        while time.time() < deadline and not all(
+                g.idle() for g in server._groups.values()):
+            time.sleep(0.02)
+        b2 = serving.TrackerClient(host, port)
+        b2.open(window=5)        # session closed -> group truly idle -> evictable
+        b2.close()
+        admin.close()
+        b.close()
+    finally:
+        server.stop()
+
+
 def test_reload_disabled_without_loader(setup):
     cfg, params, host, port = setup
     c = serving.TrackerClient(host, port)
