@@ -22,7 +22,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def run_clients(host, port, n_sessions, n_frames, window, H, W):
+def run_clients(host, port, n_sessions, n_frames, window, H, W, reload_at=-1):
+    '''reload_at >= 0: an admin connection hot-swaps the weights once any session reaches
+    that frame. A session whose track() errors (stale after the reload, non-migrating
+    server) reopens and resends its query — modelling a real client losing its tracking
+    state — and the error is counted in `stale_errors`.'''
     from tcow_tpu.serving import TrackerClient
     rng = np.random.RandomState(0)
     rgb = rng.randint(0, 256, size=(8, H, W, 3), dtype=np.uint8)   # cycled
@@ -31,7 +35,16 @@ def run_clients(host, port, n_sessions, n_frames, window, H, W):
 
     lat = [[] for _ in range(n_sessions)]
     errors = []
+    stale_errors = [0]
+    count_lock = threading.Lock()
+    reload_evt = threading.Event()
     barrier = threading.Barrier(n_sessions + 1)
+
+    def admin():
+        reload_evt.wait()
+        c = TrackerClient(host, port)
+        c.reload('fresh')
+        c.close()
 
     def worker(k):
         try:
@@ -40,8 +53,18 @@ def run_clients(host, port, n_sessions, n_frames, window, H, W):
             c.track(rgb[0], query_mask=qmask)   # warm-up (compile) frame
             barrier.wait()
             for t in range(n_frames):
+                if t == reload_at and k == 0:
+                    reload_evt.set()
                 t0 = time.time()
-                c.track(rgb[(t + 1) % len(rgb)])
+                try:
+                    c.track(rgb[(t + 1) % len(rgb)])
+                except RuntimeError:
+                    with count_lock:
+                        stale_errors[0] += 1
+                    c.close()
+                    c = TrackerClient(host, port)
+                    c.open(window=window)
+                    c.track(rgb[0], query_mask=qmask)   # tracking state lost: requery
                 lat[k].append(time.time() - t0)
             c.close()
         except BaseException as e:   # noqa: BLE001
@@ -50,6 +73,9 @@ def run_clients(host, port, n_sessions, n_frames, window, H, W):
                 barrier.abort()
             except Exception:
                 pass
+
+    if reload_at >= 0:
+        threading.Thread(target=admin, daemon=True).start()
 
     threads = [threading.Thread(target=worker, args=(k,)) for k in range(n_sessions)]
     for t in threads:
@@ -67,7 +93,9 @@ def run_clients(host, port, n_sessions, n_frames, window, H, W):
     return dict(sessions=n_sessions, frames_total=n_sessions * n_frames, wall_s=wall,
                 agg_fps=n_sessions * n_frames / wall,
                 lat_ms_p50=float(np.percentile(all_lat, 50) * 1e3),
-                lat_ms_p95=float(np.percentile(all_lat, 95) * 1e3))
+                lat_ms_p95=float(np.percentile(all_lat, 95) * 1e3),
+                lat_ms_max=float(all_lat.max() * 1e3),
+                stale_errors=stale_errors[0])
 
 
 def main():
@@ -82,6 +110,12 @@ def main():
     p.add_argument('--width', type=int, default=320)
     p.add_argument('--num_frames', type=int, default=30)
     p.add_argument('--resume', default='', help='optional checkpoint (else random init)')
+    p.add_argument('--migrate', type=int, default=0,
+                   help='1: migrate_sessions=True (zero-downtime reloads)')
+    p.add_argument('--reload_midway', action='store_true',
+                   help='hot-swap weights once a session reaches frames/2; reports '
+                        'stale_errors (sessions killed; 0 with --migrate 1) and the '
+                        'max latency (the migration replay spike)')
     a = p.parse_args()
 
     import jax
@@ -104,12 +138,18 @@ def main():
         params = mt.init_params(jax.random.key(0), cfg)
 
     print(f'backend={jax.default_backend()} {a.height}x{a.width} window={a.window} '
-          f'batch_slots={slots}', file=sys.stderr)
-    server = serving.TrackerServer(params, cfg, port=0, batch_slots=slots)
+          f'batch_slots={slots} migrate={a.migrate} reload_midway={a.reload_midway}',
+          file=sys.stderr)
+    loader = (lambda _path: jax.tree_util.tree_map(lambda x: x, params)) \
+        if a.reload_midway else None   # same values: throughput-neutral hot swap
+    server = serving.TrackerServer(params, cfg, port=0, batch_slots=slots,
+                                   params_loader=loader,
+                                   migrate_sessions=bool(a.migrate))
     host, port = server.start()
     try:
         for n in sweep:
-            r = run_clients(host, port, n, a.frames, a.window, a.height, a.width)
+            r = run_clients(host, port, n, a.frames, a.window, a.height, a.width,
+                            reload_at=a.frames // 2 if a.reload_midway else -1)
             occ = ''
             for g in server._groups.values():
                 if g.steps:
@@ -117,9 +157,11 @@ def main():
                            f'avg_step={g.step_ms / g.steps:.0f} ms]')
                 g.steps = g.frames = 0
                 g.step_ms = 0.0
+            extra = (f'  max={r["lat_ms_max"]:7.1f} ms  stale_errors={r["stale_errors"]}'
+                     if a.reload_midway else '')
             print(f'sessions={r["sessions"]:3d}  agg_fps={r["agg_fps"]:8.1f}  '
                   f'p50={r["lat_ms_p50"]:7.1f} ms  p95={r["lat_ms_p95"]:7.1f} ms  '
-                  f'({r["frames_total"]} frames in {r["wall_s"]:.2f} s){occ}')
+                  f'({r["frames_total"]} frames in {r["wall_s"]:.2f} s){occ}{extra}')
     finally:
         server.stop()
 
