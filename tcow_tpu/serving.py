@@ -199,9 +199,9 @@ class _BatchGroup:
         lock, and the dispatcher re-reads the epoch under that lock before stepping, so an
         already-grabbed batch can never run against the fresh state. If even the rebuild
         fails the group is stopped; either way every pending request is failed cleanly.'''
-        err = ValueError('session state was lost (device error, weight reload, or group '
-                         'eviction); close and reopen the session'
-                         + (f' [{error}]' if error is not None else ''))
+        msg = ('session state was lost (device error, weight reload, or group '
+               'eviction); close and reopen the session'
+               + (f' [{error}]' if error is not None else ''))
         lock = _NULL_LOCK if _device_locked else self.server._device_lock
         try:
             with lock:
@@ -210,11 +210,15 @@ class _BatchGroup:
                     self.state = new_state
                     self.epoch += 1
                     self.free = list(range(self.slots))
-                    self._fail_pending_locked(err)
+                    # _StaleBatch (a ValueError): these frames were invalidated BEFORE
+                    # running, exactly like a grabbed-then-recycled batch — a migrating
+                    # server retries them transparently; otherwise the client sees the
+                    # same reopen error as before.
+                    self._fail_pending_locked(_StaleBatch(msg))
         except BaseException:   # noqa: BLE001 — device unusable; stop the group
             self.stopped.set()
             with self.cond:
-                self._fail_pending_locked(err)
+                self._fail_pending_locked(ValueError(msg))
 
     def _fail_pending_locked(self, err: BaseException) -> None:
         '''Caller holds self.cond.'''

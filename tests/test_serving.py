@@ -415,6 +415,33 @@ def test_migration_ring_trim_matches_window_retention(setup):
         server.stop()
 
 
+def test_recycle_fails_pending_frames_as_stale(setup):
+    '''Frames still in `pending` (not yet grabbed by the dispatcher — common when device
+    steps are slow) when a recycle lands must fail with _StaleBatch, so a migrating
+    server retries them transparently instead of surfacing a hard reopen error. (Found on
+    the TPU relay: 3 of 4 sessions got killed through a reload despite migrate_sessions.)'''
+    cfg, params, _, _ = setup
+    server = serving.TrackerServer(params, cfg, port=0, batch_slots=2,
+                                   migrate_sessions=True)
+    try:
+        group = serving._BatchGroup(server, window=4, pinned=1, tmax=4,
+                                    slots=2)
+        # Pause the dispatcher by holding the device lock THROUGH a recycle, then inject
+        # a pending frame exactly as submit() would.
+        H, W = cfg.frame_height, cfg.frame_width
+        box = serving._FrameBox(np.zeros((1, 3, H, W), np.uint8),
+                                np.zeros((1, 1, H, W), np.uint8))
+        with group.cond:
+            group.pending[0] = box
+        group.recycle()
+        assert box.done.is_set()
+        assert isinstance(box.error, serving._StaleBatch), box.error
+        assert isinstance(box.error, ValueError)  # non-migrating servers: app error
+        group.stopped.set()
+    finally:
+        server.stop()
+
+
 def test_migrate_pending_group_not_evicted(setup):
     '''After a reload recycles a group (all slots free), open connections awaiting
     migration still reference it: a new-geometry open must NOT evict it out from under

@@ -36,6 +36,7 @@ def run_clients(host, port, n_sessions, n_frames, window, H, W, reload_at=-1):
     lat = [[] for _ in range(n_sessions)]
     errors = []
     stale_errors = [0]
+    stale_msgs = set()
     count_lock = threading.Lock()
     reload_evt = threading.Event()
     barrier = threading.Barrier(n_sessions + 1)
@@ -58,9 +59,10 @@ def run_clients(host, port, n_sessions, n_frames, window, H, W, reload_at=-1):
                 t0 = time.time()
                 try:
                     c.track(rgb[(t + 1) % len(rgb)])
-                except RuntimeError:
+                except RuntimeError as e:
                     with count_lock:
                         stale_errors[0] += 1
+                        stale_msgs.add(str(e)[:120])
                     c.close()
                     c = TrackerClient(host, port)
                     c.open(window=window)
@@ -95,7 +97,7 @@ def run_clients(host, port, n_sessions, n_frames, window, H, W, reload_at=-1):
                 lat_ms_p50=float(np.percentile(all_lat, 50) * 1e3),
                 lat_ms_p95=float(np.percentile(all_lat, 95) * 1e3),
                 lat_ms_max=float(all_lat.max() * 1e3),
-                stale_errors=stale_errors[0])
+                stale_errors=stale_errors[0], stale_msgs=sorted(stale_msgs))
 
 
 def main():
@@ -159,6 +161,9 @@ def main():
                 g.step_ms = 0.0
             extra = (f'  max={r["lat_ms_max"]:7.1f} ms  stale_errors={r["stale_errors"]}'
                      if a.reload_midway else '')
+            if a.reload_midway and r['stale_msgs']:
+                print('  stale error kinds: ' + ' | '.join(r['stale_msgs']),
+                      file=sys.stderr)
             print(f'sessions={r["sessions"]:3d}  agg_fps={r["agg_fps"]:8.1f}  '
                   f'p50={r["lat_ms_p50"]:7.1f} ms  p95={r["lat_ms_p95"]:7.1f} ms  '
                   f'({r["frames_total"]} frames in {r["wall_s"]:.2f} s){occ}{extra}')
