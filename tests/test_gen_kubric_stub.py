@@ -197,3 +197,69 @@ def test_stub_scenes_train(stub_backend, tmp_path):
     finally:
         tsf.DEPTH_PRESETS.clear()
         tsf.DEPTH_PRESETS.update(old)
+
+
+def test_eval_cli_on_stub_containers_benchmark(stub_backend, tmp_path):
+    '''BASELINE.json config #2 end-to-end without Blender: export_kub_cont (stub backend)
+    generates a Kubric-Containers-style benchmark, and the REAL eval driver scores it
+    (checkpoint -> test protocol -> itemized CSV + weighted/unweighted aggregates).'''
+    import jax
+    from tcow_tpu import config as config_lib
+    from tcow_tpu.evaluation import test_driver
+    from tcow_tpu.gen_kubric import export_kub_cont
+    from tcow_tpu.models import mask_tracker
+    from tcow_tpu.models import timesformer as tsf
+    from tcow_tpu.models.mask_tracker import SeekerConfig
+    from tcow_tpu.train import checkpoint as ckpt_lib
+    from tcow_tpu.utils.logvis import MyLogger
+
+    root = tmp_path / 'kubcont_bench'
+    export_kub_cont.main([
+        '--sim_backend', 'stub', '--root_dp', str(root),
+        '--scene_types', 'fall_into_container', 'box_push_container_slide',
+        '--num_scenes_per_type', '1', '--num_workers', '0',
+        '--frame_width', '96', '--frame_height', '72', '--num_frames', '10'])
+
+    old = dict(tsf.DEPTH_PRESETS)
+    tsf.DEPTH_PRESETS[2] = (32, 4)
+    try:
+        seeker_args = dict(num_total_frames=6, frame_height=32, frame_width=48,
+                           patch_size=16, attention_type='divided_space_time',
+                           causal_attention=1, norm_embeddings=False, drop_path_rate=0.1,
+                           network_depth=2, track_map_stride=4,
+                           track_map_resize='bilinear', query_channels=1,
+                           output_channels=3, flag_channels=3, tracker_pretrained='0')
+        dset_args = dict(num_frames=6, frame_height=32, frame_width=48, frame_rate=12,
+                         frame_stride=1, max_delay=2, use_data_frac=1.0, augs_2d=True,
+                         num_queries=1, query_time=0.0, max_objects=16,
+                         front_occl_thres=0.95, outer_cont_thres=0.75)
+        cfg = SeekerConfig(num_total_frames=6, frame_height=32, frame_width=48,
+                           causal_attention=1, drop_path_rate=0.0, network_depth=2)
+        params = mask_tracker.init_params(jax.random.key(0), cfg)
+        ckpt_root = tmp_path / 'ckpts'
+        ckpt_lib.save_checkpoint(str(ckpt_root / 'cev1'), epoch=0, name='cev1',
+                                 params=params, train_args={'seed': 900, 'num_frames': 6},
+                                 dset_args={'kubric': dset_args},
+                                 seeker_args=seeker_args)
+
+        argv = ['--resume', 'cev1', '--name', 'ev_cont', '--data_path', str(root),
+                '--checkpoint_root', str(ckpt_root), '--log_root', str(tmp_path / 'logs'),
+                '--num_queries', '1', '--num_workers', '1',
+                '--compute_dtype', 'float32', '--avoid_wandb', '2']
+        test_args = config_lib.test_args(argv)
+        logger = MyLogger(test_args, context='test_' + test_args.name)
+        weighted, unweighted, df = test_driver.main(test_args, logger)
+    finally:
+        tsf.DEPTH_PRESETS.clear()
+        tsf.DEPTH_PRESETS.update(old)
+
+    assert len(df) == 2   # one clip per generated scene (batch 1, test protocol)
+    assert weighted['count_snitch_iou'] > 0
+    assert 0.0 <= weighted['mean_snitch_iou'] <= 1.0
+    # Scene-type provenance survives into the itemized results.
+    assert any('fall_into_container' in str(s) for s in df['scene_dn'])
+    # Test results land under the trained model's log dir (reference convention:
+    # eval/test.py reuses the resumed run's name for the log subtree).
+    csv_fp = os.path.join(str(tmp_path / 'logs'), 'cev1',
+                          'test_ev_cont_e0', 'itemized_results.csv')
+    assert os.path.exists(csv_fp)
