@@ -59,6 +59,11 @@ def shared_args(parser: argparse.ArgumentParser):
                         help='Number of devices in the mesh; -1 = all.')
     parser.add_argument('--seq_shards', default=1, type=int,
                         help='Sequence-parallel shards (second mesh axis).')
+    parser.add_argument('--tp_shards', default=1, type=int,
+                        help='Tensor-parallel shards (model mesh axis): block weights + '
+                             'attention heads sharded, for models past one chip\'s HBM. '
+                             'Uses the XLA attention path (the fused Pallas kernel is '
+                             'single-device).')
     parser.add_argument('--compute_dtype', default='bfloat16', type=str,
                         choices=['bfloat16', 'float32'])
     parser.add_argument('--profile_dir', default='', type=str,

@@ -56,8 +56,9 @@ class SeekerConfig:
     #   plugin usage modes) carry their real temporal spacing. Stored in seeker_args so
     #   eval reconstructs the convention from the checkpoint. Requires temporal_rope.
     attention_bwd: str = 'res'  # 'res' | 'kernel_qkv' | 'kernel_x' (ops/pallas_attention.py)
-    batch_axis: Any = None  # mesh axis names for DP / sequence parallelism (see
-    seq_axis: Any = None    # timesformer.TimeSformerConfig)
+    batch_axis: Any = None  # mesh axis names for DP / sequence / tensor parallelism
+    seq_axis: Any = None    # (see timesformer.TimeSformerConfig; model_axis shards block
+    model_axis: Any = None  # weights + attention heads, parallel/mesh.py tp_pspec)
 
     @property
     def input_channels(self) -> int:
@@ -83,7 +84,8 @@ class SeekerConfig:
             remat_group=self.remat_group,
             use_pallas_attention=self.use_pallas_attention,
             attention_bwd=self.attention_bwd, temporal_rope=self.temporal_rope,
-            batch_axis=self.batch_axis, seq_axis=self.seq_axis)
+            batch_axis=self.batch_axis, seq_axis=self.seq_axis,
+            model_axis=self.model_axis)
 
 
 def seeker_config_from_args(seeker_args: Dict[str, Any], **overrides) -> SeekerConfig:

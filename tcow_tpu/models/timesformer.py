@@ -73,6 +73,13 @@ class TimeSformerConfig:
     # during spatial attention; XLA inserts the all-to-alls at the transposes.
     batch_axis: Any = None  # mesh axis name for the batch dim, e.g. 'data'
     seq_axis: Any = None    # mesh axis name for the token dim, e.g. 'seq'
+    # Tensor parallelism: when model_axis names a mesh axis, block weights are sharded
+    # over it (parallel/mesh.py tp_pspec: row-parallel qkv/proj/fc2, column-parallel fc1)
+    # and attention runs head-parallel (q/k/v head axis constrained below). XLA inserts
+    # the psums after the row-parallel matmuls. Requires num_heads % mesh model size == 0
+    # for communication-free head sharding; XLA-path attention only (the fused Pallas
+    # kernel is a single-device program — a shard_map wrap is future work).
+    model_axis: Any = None
 
     @property
     def grid_h(self) -> int:
@@ -97,6 +104,11 @@ class TimeSformerConfig:
     @property
     def divided(self) -> bool:
         return self.attention_type == 'divided_space_time'
+
+    @property
+    def axes(self):
+        '''(batch, seq, model) mesh-axis triple for attention sharding constraints.'''
+        return (self.batch_axis, self.seq_axis, self.model_axis)
 
 
 def config_from_network_depth(network_depth: int, **kwargs) -> TimeSformerConfig:
@@ -179,7 +191,7 @@ def _dense(x, p):
 
 
 def attention(p, x, num_heads: int, causal_attention: int = 0, use_pallas: bool = False,
-              attention_bwd: str = 'res', rope: bool = False, pos=None):
+              attention_bwd: str = 'res', rope: bool = False, pos=None, axes=None):
     '''Multi-head self-attention over the second-to-last axis.
 
     Mirrors reference `Attention.forward` (vit.py:78-123): qkv projection with bias, scale
@@ -195,11 +207,19 @@ def attention(p, x, num_heads: int, causal_attention: int = 0, use_pallas: bool 
     (..., S) f32 supplies TRUE per-sequence positions (time-calibrated rope: source-frame
     timestamps instead of row indices); None means 0..S-1.
 
+    `axes` is an optional (batch_axis, seq_axis, model_axis) mesh-axis triple: with a
+    model_axis the attention runs head-parallel (tensor parallelism — q/k/v constrained to
+    shard their head axis, so logits/probs/out stay local per head shard and the merged
+    head-major output feeds the row-parallel proj without resharding).
+
     :param x (..., S, D).
     :return (..., S, D).
     '''
     *lead, S, D = x.shape
+    batch_axis, seq_axis, model_axis = axes if axes is not None else (None, None, None)
     if use_pallas:
+        assert model_axis is None, \
+            'tensor parallelism requires the XLA attention path (use_pallas_attention=0)'
         from jax.ad_checkpoint import checkpoint_name
         from tcow_tpu.ops import pallas_attention as pa
         flat = x.reshape(-1, S, D)
@@ -218,6 +238,15 @@ def attention(p, x, num_heads: int, causal_attention: int = 0, use_pallas: bool 
     q = jnp.moveaxis(qkv[..., 0, :, :], -2, -3)                 # (..., h, S, dh)
     k = jnp.moveaxis(qkv[..., 1, :, :], -2, -3)
     v = jnp.moveaxis(qkv[..., 2, :, :], -2, -3)
+    if model_axis is not None:
+        from jax.sharding import PartitionSpec
+        # Head-parallel: slice heads over the model axis (qkv is replicated post-psum, so
+        # this is a local slice, not a collective). Lead dims keep their DP/SP layout.
+        spec = PartitionSpec(*((batch_axis,) + (seq_axis,) * (len(lead) - 1)
+                               + (model_axis, None, None)))
+        q = jax.lax.with_sharding_constraint(q, spec)
+        k = jax.lax.with_sharding_constraint(k, spec)
+        v = jax.lax.with_sharding_constraint(v, spec)
     if rope:
         from tcow_tpu.ops import rope as rope_lib
         if pos is None:
@@ -331,7 +360,8 @@ def _divided_block(p, xs, cls, cfg: TimeSformerConfig, dpr, rngs, frame_times=No
            else jnp.broadcast_to(frame_times[:, None, :], (B, N, T)))
     res_t = attention(p['temporal_attn'], y, nh, causal_attention=ca,
                       use_pallas=cfg.use_pallas_attention,
-                      attention_bwd=cfg.attention_bwd, rope=cfg.temporal_rope, pos=pos)
+                      attention_bwd=cfg.attention_bwd, rope=cfg.temporal_rope, pos=pos,
+                      axes=cfg.axes)
     res_t = drop_path(res_t, dpr, r('t'), row_ndim=2)  # independent mask per (b, n)
     res_t = _dense(res_t, p['temporal_fc'])
     xt = xs + res_t
@@ -344,7 +374,7 @@ def _divided_block(p, xs, cls, cfg: TimeSformerConfig, dpr, rngs, frame_times=No
         seq = jnp.concatenate([cls_rep, xsp], axis=2)  # (B, T, N+1, D)
         res_sp = attention(p['attn'], layer_norm(seq, p['norm1'], cfg.ln_eps), nh,
                            use_pallas=cfg.use_pallas_attention,
-                      attention_bwd=cfg.attention_bwd)
+                      attention_bwd=cfg.attention_bwd, axes=cfg.axes)
         res_sp = drop_path(res_sp, dpr, r('s'), row_ndim=2)  # mask per (b, t)
         cls_out = res_sp[:, :, 0, :]  # (B, T, D)
         if ca == 0:
@@ -356,7 +386,7 @@ def _divided_block(p, xs, cls, cfg: TimeSformerConfig, dpr, rngs, frame_times=No
     else:  # ca >= 2 or ca == -1: no cls token in spatial attention (vit.py:202-208).
         res_sp = attention(p['attn'], layer_norm(xsp, p['norm1'], cfg.ln_eps), nh,
                            use_pallas=cfg.use_pallas_attention,
-                      attention_bwd=cfg.attention_bwd)
+                      attention_bwd=cfg.attention_bwd, axes=cfg.axes)
         res_sp = drop_path(res_sp, dpr, r('s'), row_ndim=2)
         cls_new = jnp.zeros_like(cls)
         res_sp = jnp.swapaxes(res_sp, 1, 2)
@@ -382,7 +412,7 @@ def _joint_block(p, xs, cls, cfg: TimeSformerConfig, dpr, rngs, frame_times=None
     flat = jnp.concatenate([cls[:, None, :], xs.reshape(B, N * T, D)], axis=1)
     res = attention(p['attn'], layer_norm(flat, p['norm1'], cfg.ln_eps), cfg.num_heads,
                     use_pallas=cfg.use_pallas_attention,
-                      attention_bwd=cfg.attention_bwd)
+                      attention_bwd=cfg.attention_bwd, axes=cfg.axes)
     flat = flat + drop_path(res, dpr, r('s'), row_ndim=1)
     flat = flat + drop_path(mlp(p['mlp'], layer_norm(flat, p['norm2'], cfg.ln_eps)),
                             dpr, r('m'), row_ndim=1)

@@ -3,14 +3,16 @@ Device mesh + sharding rules.
 
 TPU-native replacement for the reference's torch.nn.DataParallel wrap
 (/root/reference/train.py:222-223): the batch axis is sharded over a 1-D (or the 'data' axis
-of a 2-D) mesh and the jitted train step lets XLA's SPMD partitioner insert the gradient
-all-reduce over ICI. A second optional 'seq' axis enables sequence parallelism for the
+of a 2-D/3-D) mesh and the jitted train step lets XLA's SPMD partitioner insert the gradient
+all-reduce over ICI. An optional 'seq' axis enables sequence parallelism for the
 divided space-time attention (shard patch axis during temporal attention, frame axis during
 spatial attention; XLA inserts the all-to-alls at the transposes) — the long-context stretch
-config from SURVEY.md section 5.7.
+config from SURVEY.md section 5.7. An optional 'model' axis enables tensor parallelism
+(Megatron-style sharded block weights + head-parallel attention, see `tp_pspec`), for
+models whose weights or activations outgrow one chip's HBM.
 '''
 
-from typing import Any, Dict, Optional
+from typing import Any, Callable, Dict, Optional
 
 import jax
 import numpy as np
@@ -18,38 +20,117 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = 'data'
 SEQ_AXIS = 'seq'
+MODEL_AXIS = 'model'
 
 
-def make_mesh(num_devices: Optional[int] = None, seq: int = 1,
+def make_mesh(num_devices: Optional[int] = None, seq: int = 1, model: int = 1,
               devices=None) -> Mesh:
-    '''1-D data mesh by default; (data, seq) 2-D mesh when seq > 1.'''
+    '''(data, seq, model) mesh; seq/model default to size-1 axes (pure data parallel).'''
     if devices is None:
         devices = jax.devices()
     if num_devices is not None:
         devices = devices[:num_devices]
     n = len(devices)
-    assert n % seq == 0, (n, seq)
-    arr = np.array(devices).reshape(n // seq, seq)
+    assert n % (seq * model) == 0, (n, seq, model)
+    arr = np.array(devices).reshape(n // (seq * model), seq, model)
     # Auto axis types: sharding constraints inside the model act as hints (propagated by
     # XLA's SPMD partitioner), not as asserts.
-    return Mesh(arr, (DATA_AXIS, SEQ_AXIS),
-                axis_types=(jax.sharding.AxisType.Auto,) * 2)
+    return Mesh(arr, (DATA_AXIS, SEQ_AXIS, MODEL_AXIS),
+                axis_types=(jax.sharding.AxisType.Auto,) * 3)
+
+
+def tp_pspec(path, leaf, model_axis=MODEL_AXIS) -> P:
+    '''Tensor-parallel PartitionSpec for one (path, leaf) of the seeker param tree (or of
+    any tree embedding it, e.g. AdamW moments — the rule keys on trailing dict-key names,
+    which optax state trees preserve).
+
+    Layout (Megatron-style, adapted to the stacked-[L,·,·] block params executed under
+    lax.scan and to the reference's fused (3, H, dh) qkv packing, vit.py:78-123):
+      - attn/temporal_attn qkv.w [L, D, 3D]: ROW-parallel (contraction dim sharded, psum
+        after). A column split would cross the fused q/k/v boundaries — the (3, H, dh)
+        output layout is not head-major, so output-dim shards misalign with heads and
+        GSPMD would all-gather at the (S, 3, H, dh) reshape. Row-parallel costs one psum
+        of the qkv activations but keeps every reshape local.
+      - attn/temporal_attn proj.w [L, D, D]: ROW-parallel — its input dim IS head-major
+        (D = H*dh merged from the per-head attention outputs), so the head-sharded
+        activations feed it without any resharding; psum after.
+      - mlp fc1.w [L, D, Hm] + fc1.b: COLUMN-parallel (hidden activations sharded).
+      - mlp fc2.w [L, Hm, D]: ROW-parallel (consumes the sharded hidden dim; psum after).
+      - everything else (embeddings, norms, temporal_fc, heads, biases of row-parallel
+        layers, optimizer scalars): replicated.
+    '''
+    names = tuple(k.key for k in path if isinstance(k, jax.tree_util.DictKey))
+    ndim = np.ndim(leaf)
+    if len(names) >= 3 and ndim == 3:
+        gp, parent, leafname = names[-3], names[-2], names[-1]
+        if leafname == 'w':
+            if parent in ('qkv', 'proj') and gp in ('attn', 'temporal_attn'):
+                return P(None, model_axis, None)
+            if parent == 'fc1' and gp == 'mlp':
+                return P(None, None, model_axis)
+            if parent == 'fc2' and gp == 'mlp':
+                return P(None, model_axis, None)
+    if len(names) >= 3 and ndim == 2:
+        if names[-1] == 'b' and names[-2] == 'fc1' and names[-3] == 'mlp':
+            return P(None, model_axis)
+    return P()
+
+
+def shard_tree(tree, mesh: Mesh, pspec_fn: Optional[Callable[..., P]] = None):
+    '''Places a pytree on the mesh. `pspec_fn(path, leaf) -> PartitionSpec` picks each
+    leaf's layout (None = fully replicate everything). PRNG-key leaves always replicate.
+
+    Works in both single-process and multi-host execution (where device_put to
+    non-addressable devices is illegal; every process holds the same full values, e.g. the
+    same-seed initialized params, and jax.make_array_from_callback slices out the local
+    shards).'''
+    repl = NamedSharding(mesh, P())
+
+    def place(path, v):
+        sh = repl if pspec_fn is None else NamedSharding(mesh, pspec_fn(path, v))
+        if hasattr(v, 'dtype') and jax.dtypes.issubdtype(v.dtype, jax.dtypes.prng_key):
+            data = np.asarray(jax.random.key_data(v))
+            if jax.process_count() > 1:
+                arr = jax.make_array_from_callback(data.shape, repl, lambda i: data[i])
+            else:
+                arr = jax.device_put(data, repl)
+            return jax.random.wrap_key_data(arr, impl=jax.random.key_impl(v))
+        if jax.process_count() > 1:
+            vv = np.asarray(v)
+            return jax.make_array_from_callback(vv.shape, sh, lambda i: vv[i])
+        return jax.device_put(v, sh)
+
+    return jax.tree_util.tree_map_with_path(place, tree)
 
 
 def replicate_tree(tree, mesh: Mesh):
-    '''Places every leaf fully replicated across the mesh. Works in both single-process
-    and multi-host execution (where device_put to non-addressable devices is illegal;
-    every process holds the same values, e.g. the same-seed initialized params).'''
-    sharding = NamedSharding(mesh, P())
+    '''Places every leaf fully replicated across the mesh.'''
+    return shard_tree(tree, mesh)
+
+
+def shard_state(state, mesh: Mesh, tensor_parallel: bool = False):
+    '''Places a TrainState (or params tree): tensor-parallel block weights sharded over
+    the model axis (tp_pspec — AdamW moments follow automatically by path suffix), all
+    else replicated.'''
+    return shard_tree(state, mesh, tp_pspec if tensor_parallel else None)
+
+
+def fetch_global(tree):
+    '''device_get that also works for tensor-parallel (model-axis sharded) leaves under
+    multi-host execution: a non-addressable, non-replicated leaf is first gathered with a
+    collective — so EVERY process must call this, in the same order (checkpointing callers
+    gate the subsequent WRITE on process 0, not the fetch).'''
     if jax.process_count() > 1:
-        def leaf(v):
-            if hasattr(v, 'dtype') and jax.dtypes.issubdtype(v.dtype, jax.dtypes.prng_key):
-                data = jax.make_array_from_process_local_data(
-                    sharding, np.asarray(jax.random.key_data(v)))
-                return jax.random.wrap_key_data(data, impl=jax.random.key_impl(v))
-            return jax.make_array_from_process_local_data(sharding, np.asarray(v))
-        return jax.tree.map(leaf, tree)
-    return jax.device_put(tree, sharding)
+        from jax.experimental import multihost_utils
+
+        def leaf(l):
+            sh = getattr(l, 'sharding', None)
+            if sh is not None and not l.is_fully_addressable \
+                    and not sh.is_fully_replicated:
+                return multihost_utils.process_allgather(l, tiled=True)
+            return l
+        tree = jax.tree.map(leaf, tree)  # deterministic order -> aligned collectives
+    return jax.device_get(tree)
 
 
 def batch_sharding(mesh: Mesh, leaf) -> NamedSharding:

@@ -40,6 +40,12 @@ def loss_config_from_args(args) -> LossConfig:
 def build_seeker_config(args, seeker_args: Dict[str, Any], mesh=None) -> SeekerConfig:
     import jax.numpy as jnp
     import jax
+    tp = (mesh is not None and mesh_lib.MODEL_AXIS in mesh.shape
+          and mesh.shape[mesh_lib.MODEL_AXIS] > 1)
+    # Tensor parallelism runs the XLA attention path: the fused Pallas kernel is a
+    # single-device program (a shard_map wrap is future work), and the 'dots_nb_out'
+    # policy's named save point only exists inside it.
+    use_pallas = jax.default_backend() == 'tpu' and not tp
     overrides = dict(
         compute_dtype=jnp.bfloat16 if getattr(args, 'compute_dtype', 'bfloat16')
         == 'bfloat16' else jnp.float32,
@@ -48,12 +54,13 @@ def build_seeker_config(args, seeker_args: Dict[str, Any], mesh=None) -> SeekerC
         # 'kernel_x' + 'dots_nb_out': in-kernel attention backward (probs recomputed in
         # VMEM from x, zero attention residuals in HBM, fwd kernel never re-run) measured
         # 296 ms/step vs 343 for the saved-residual backward at the flagship config.
-        remat_policy='dots_nb_out' if jax.default_backend() == 'tpu' else 'full',
-        use_pallas_attention=jax.default_backend() == 'tpu',
-        attention_bwd='kernel_x' if jax.default_backend() == 'tpu' else 'res',
+        remat_policy='dots_nb_out' if use_pallas else ('dots_nb' if tp else 'full'),
+        use_pallas_attention=use_pallas,
+        attention_bwd='kernel_x' if use_pallas else 'res',
         batch_axis=mesh_lib.DATA_AXIS if mesh is not None else None,
         seq_axis=mesh_lib.SEQ_AXIS
-        if mesh is not None and mesh.shape[mesh_lib.SEQ_AXIS] > 1 else None)
+        if mesh is not None and mesh.shape[mesh_lib.SEQ_AXIS] > 1 else None,
+        model_axis=mesh_lib.MODEL_AXIS if tp else None)
     return seeker_config_from_args(seeker_args, **overrides)
 
 
@@ -116,13 +123,16 @@ def main(args, logger):
 
     # Mesh + model. The data axis must divide the global batch size; shrink it if needed.
     n_dev = args.mesh_devices if args.mesh_devices > 0 else len(jax.devices())
-    n_data = max(n_dev // args.seq_shards, 1)
+    tp_shards = getattr(args, 'tp_shards', 1)
+    n_par = args.seq_shards * tp_shards
+    n_data = max(n_dev // n_par, 1)
     while args.batch_size % n_data != 0:
         n_data -= 1
-    if n_data * args.seq_shards != n_dev:
-        logger.warning(f'Using {n_data * args.seq_shards}/{n_dev} devices so the data axis '
+    if n_data * n_par != n_dev:
+        logger.warning(f'Using {n_data * n_par}/{n_dev} devices so the data axis '
                        f'({n_data}) divides batch_size ({args.batch_size}).')
-    mesh = mesh_lib.make_mesh(num_devices=n_data * args.seq_shards, seq=args.seq_shards)
+    mesh = mesh_lib.make_mesh(num_devices=n_data * n_par, seq=args.seq_shards,
+                              model=tp_shards)
     logger.info(f'Device mesh: {dict(mesh.shape)} on {jax.devices()[0].platform}')
 
     seeker_args = config_lib.build_seeker_args(args)
@@ -182,15 +192,16 @@ def main(args, logger):
     train_step = jax.jit(step_lib.make_train_step(step_cfg, tx), donate_argnums=(0,))
     eval_step = jax.jit(step_lib.make_eval_step(step_cfg))
     vis_step = jax.jit(step_lib.make_vis_step(step_cfg))
-    state = mesh_lib.replicate_tree(state, mesh)
+    state = mesh_lib.shard_state(state, mesh,
+                                 tensor_parallel=cfg.model_axis is not None)
 
     ckpt_thread = [None]
+
+    fetch_global = mesh_lib.fetch_global  # TP-aware device_get (collective on multi-host)
 
     def checkpoint_fn(epoch, final: bool = False, steps_done=None):
         if not args.checkpoint_path:
             return
-        if jax.process_index() != 0:
-            return  # multi-host: one writer (state is replicated; shared-FS race otherwise)
         save_every = max(getattr(args, 'save_every', 1), 1)
         if epoch >= 0 and not final and steps_done is None \
                 and epoch % save_every != 0 and epoch % args.checkpoint_every != 0:
@@ -201,14 +212,17 @@ def main(args, logger):
         # A mid-epoch (preemption) save is always full: it IS the state to resume from.
         full = (not getattr(args, 'checkpoint_light', False) or final or epoch < 0
                 or steps_done is not None or epoch % args.checkpoint_every == 0)
-        # Fetches must be sync (the next step donates the buffers).
+        # Fetches must be sync (the next step donates the buffers) and, multi-host, run
+        # on every process (TP gather is collective).
         if full:
-            host_state = jax.device_get(state)
+            host_state = fetch_global(state)
             host_params, host_opt = host_state.params, host_state.opt_state
             host_rng, host_step = host_state.rng, host_state.step
         else:
-            host_params = jax.device_get(state.params)
+            host_params = fetch_global(state.params)
             host_opt = host_rng = host_step = None
+        if jax.process_index() != 0:
+            return  # multi-host: one writer (shared-FS race otherwise)
 
         def write():
             ckpt_lib.save_checkpoint(

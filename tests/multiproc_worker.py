@@ -4,7 +4,12 @@ jax.distributed processes, each with 2 virtual CPU devices, jointly running the 
 train step over a global data mesh. Prints the resulting loss as `LOSS <value>` so the
 parent can compare across processes and against the single-process oracle.
 
-Usage: python multiproc_worker.py <coordinator_port> <process_id> <num_processes>
+Usage: python multiproc_worker.py <coordinator_port> <process_id> <num_processes> [tp]
+
+With the optional 'tp' mode the mesh gains a model=2 tensor-parallel axis (each process's
+2 local devices), block weights are sharded via tp_pspec, and the worker additionally
+exercises the checkpoint fetch path (mesh.fetch_global: collective gather of the
+non-addressable TP shards) and prints a parameter checksum.
 '''
 
 import os
@@ -13,6 +18,7 @@ import sys
 
 def main():
     port, pid, nproc = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
+    tp = len(sys.argv) > 4 and sys.argv[4] == 'tp'
     os.environ['JAX_PLATFORMS'] = 'cpu'
     flags = os.environ.get('XLA_FLAGS', '')
     flags = ' '.join(f for f in flags.split()
@@ -38,7 +44,8 @@ def main():
     tsf.DEPTH_PRESETS.setdefault(2, (48, 4))
     seeker = SeekerConfig(num_total_frames=4, frame_height=32, frame_width=48,
                           causal_attention=1, drop_path_rate=0.0, network_depth=2,
-                          batch_axis=mesh_lib.DATA_AXIS)
+                          batch_axis=mesh_lib.DATA_AXIS,
+                          model_axis=mesh_lib.MODEL_AXIS if tp else None)
     cfg = step_lib.StepConfig(seeker=seeker, loss=LossConfig(), num_queries=2)
     tx = optim.make_optimizer('adamw', learn_rate=1e-4, num_epochs=10, steps_per_epoch=10)
     state = step_lib.init_train_state(jax.random.key(0), cfg, tx)  # same seed everywhere
@@ -50,13 +57,28 @@ def main():
     batch_np = synthetic_device_batch(0, B=2 * nproc, Q=2, T=4, H=32, W=48, M=6, K=3)
     local = {k: (v[2 * pid:2 * (pid + 1)] if getattr(v, 'ndim', 0) > 0 else v)
              for k, v in batch_np.items()}
-    mesh = mesh_lib.make_mesh()  # all processes' devices
+    # tp mode: (data=nproc, model=2) — the model axis spans each process's 2 local
+    # devices, so every TP weight shard is addressable by exactly one data group and the
+    # batch rows still shard by process.
+    mesh = mesh_lib.make_mesh(model=2 if tp else 1)  # all processes' devices
     assert len(mesh.devices.flatten()) == 2 * nproc
     with jax.set_mesh(mesh):
-        state = mesh_lib.replicate_tree(state, mesh)
+        state = mesh_lib.shard_state(state, mesh, tensor_parallel=tp)
         batch = mesh_lib.shard_batch(local, mesh)
         state, aux = train_step(state, batch, jnp.float32(0.1))
         loss = float(aux['total_seeker'])
+        if tp:
+            w = state.params['backbone']['blocks']['mlp']['fc1']['w']
+            assert str(w.sharding.spec) == str(jax.sharding.PartitionSpec(
+                None, None, mesh_lib.MODEL_AXIS)), w.sharding.spec
+            assert not w.is_fully_addressable  # the gather below is a real collective
+            # Checkpoint fetch path: collective gather of TP shards, then a digest every
+            # process can print for cross-process comparison.
+            host_params = mesh_lib.fetch_global(state.params)
+            import numpy as np
+            digest = float(np.sum(np.abs(host_params['backbone']['blocks']
+                                         ['mlp']['fc1']['w'])))
+            print(f'PSUM {digest:.8f}', flush=True)
     print(f'LOSS {loss:.8f}', flush=True)
     jax.distributed.shutdown()
 

@@ -61,14 +61,14 @@ def _single_process_oracle() -> float:
         tsf.DEPTH_PRESETS.update(old)
 
 
-def test_two_process_train_step_matches_single_process():
+def _run_workers(mode=()):
     port = _free_port()
     nproc = 2
     env = dict(os.environ)
     env.pop('TCOW_DRYRUN_CHILD', None)
     procs = [subprocess.Popen(
         [sys.executable, os.path.join(HERE, 'multiproc_worker.py'),
-         str(port), str(pid), str(nproc)],
+         str(port), str(pid), str(nproc), *mode],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
         for pid in range(nproc)]
     outs = []
@@ -77,14 +77,41 @@ def test_two_process_train_step_matches_single_process():
         outs.append(out)
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f'worker rc={p.returncode}:\n{out}'
-    losses = []
+    return outs
+
+
+def _parse(outs, tag):
+    vals = []
     for out in outs:
-        lines = [ln for ln in out.splitlines() if ln.startswith('LOSS ')]
+        lines = [ln for ln in out.splitlines() if ln.startswith(tag + ' ')]
         assert lines, out
-        losses.append(float(lines[-1].split()[1]))
+        vals.append(float(lines[-1].split()[1]))
+    return vals
+
+
+def test_two_process_train_step_matches_single_process():
+    outs = _run_workers()
+    losses = _parse(outs, 'LOSS')
     assert np.isfinite(losses).all(), losses
     # Both processes see the identical (replicated) loss scalar.
     assert abs(losses[0] - losses[1]) < 1e-7, losses
+
+    oracle = _single_process_oracle()
+    assert abs(losses[0] - oracle) < 5e-5, (losses, oracle)
+
+
+def test_two_process_tensor_parallel_and_checkpoint_gather():
+    '''(data=2 processes, model=2 local devices) mesh: TP weights sharded across real
+    process boundaries; the train step must match the plain-DP single-process oracle and
+    mesh.fetch_global (the checkpoint fetch) must reassemble identical full params on
+    every process.'''
+    outs = _run_workers(mode=('tp',))
+    losses = _parse(outs, 'LOSS')
+    assert np.isfinite(losses).all(), losses
+    assert abs(losses[0] - losses[1]) < 1e-7, losses
+    digests = _parse(outs, 'PSUM')
+    assert np.isfinite(digests).all(), digests
+    assert abs(digests[0] - digests[1]) < 1e-6 * max(abs(digests[0]), 1.0), digests
 
     oracle = _single_process_oracle()
     assert abs(losses[0] - oracle) < 5e-5, (losses, oracle)
