@@ -64,6 +64,15 @@ def shared_args(parser: argparse.ArgumentParser):
                              'attention heads sharded, for models past one chip\'s HBM. '
                              'Uses the XLA attention path (the fused Pallas kernel is '
                              'single-device).')
+    parser.add_argument('--pp_stages', default=1, type=int,
+                        help='Pipeline-parallel stages (pipe mesh axis): the block stack '
+                             'is split into contiguous stages and microbatches stream '
+                             'through them GPipe-style (timesformer._gpipe_scan). '
+                             'Requires network_depth %% (pp_stages * remat_group) == 0. '
+                             'Uses the XLA attention path (like --tp_shards).')
+    parser.add_argument('--pp_microbatches', default=0, type=int,
+                        help='Microbatches for pipeline parallelism; 0 = pp_stages. Must '
+                             'divide batch_size * num_queries.')
     parser.add_argument('--compute_dtype', default='bfloat16', type=str,
                         choices=['bfloat16', 'float32'])
     parser.add_argument('--profile_dir', default='', type=str,

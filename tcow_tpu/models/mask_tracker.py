@@ -59,6 +59,9 @@ class SeekerConfig:
     batch_axis: Any = None  # mesh axis names for DP / sequence / tensor parallelism
     seq_axis: Any = None    # (see timesformer.TimeSformerConfig; model_axis shards block
     model_axis: Any = None  # weights + attention heads, parallel/mesh.py tp_pspec)
+    pipe_axis: Any = None   # pipeline parallelism (GPipe schedule over block-stack
+    pp_stages: int = 1      # stages, timesformer._gpipe_scan; pp_microbatches=0 means
+    pp_microbatches: int = 0  # "= pp_stages")
 
     @property
     def input_channels(self) -> int:
@@ -85,7 +88,8 @@ class SeekerConfig:
             use_pallas_attention=self.use_pallas_attention,
             attention_bwd=self.attention_bwd, temporal_rope=self.temporal_rope,
             batch_axis=self.batch_axis, seq_axis=self.seq_axis,
-            model_axis=self.model_axis)
+            model_axis=self.model_axis, pipe_axis=self.pipe_axis,
+            pp_stages=self.pp_stages, pp_microbatches=self.pp_microbatches)
 
 
 def seeker_config_from_args(seeker_args: Dict[str, Any], **overrides) -> SeekerConfig:

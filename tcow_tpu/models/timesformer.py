@@ -80,6 +80,17 @@ class TimeSformerConfig:
     # for communication-free head sharding; XLA-path attention only (the fused Pallas
     # kernel is a single-device program — a shard_map wrap is future work).
     model_axis: Any = None
+    # Pipeline parallelism (GPipe-style, _gpipe_scan): when pp_stages > 1 the stacked
+    # block scan is split into pp_stages contiguous stages and the batch into
+    # pp_microbatches microbatches streamed through them on an (M + S - 1)-tick schedule.
+    # When pipe_axis also names a mesh axis, stage parameters/buffers shard over it and
+    # the stage shift lowers to a CollectivePermute over ICI; with pipe_axis=None the
+    # same schedule runs on one device (microbatched execution, used for exactness tests).
+    # Gradient-exact vs the sequential scan (same math, microbatched). XLA attention path
+    # (like TP). Requires (depth // remat_group) % pp_stages == 0 and batch % mb == 0.
+    pipe_axis: Any = None
+    pp_stages: int = 1
+    pp_microbatches: int = 0  # 0 -> defaults to pp_stages
 
     @property
     def grid_h(self) -> int:
@@ -419,6 +430,103 @@ def _joint_block(p, xs, cls, cfg: TimeSformerConfig, dpr, rngs, frame_times=None
     return flat[:, 1:].reshape(B, N, T, D), flat[:, 0]
 
 
+def _gpipe_scan(body, carry, scanned_leaves, cfg: 'TimeSformerConfig'):
+    '''GPipe-style pipeline-parallel execution of the stacked-block scan.
+
+    TPU-native pipeline parallelism — a capability the reference does not have (its only
+    parallelism is torch DataParallel, /root/reference/train.py:222-223). The (L//G)-step
+    block scan is split into S = cfg.pp_stages contiguous stages whose parameters live on
+    different devices of the cfg.pipe_axis mesh axis; the batch is split into M
+    microbatches streamed through the stages over M + S - 1 ticks. Every stage runs the
+    SAME program via vmap over the stage axis (SPMD — no per-stage Python), and the
+    stage-to-stage activation handoff is a jnp.roll on the pipe-sharded stage axis, which
+    XLA's SPMD partitioner lowers to a CollectivePermute over ICI. Autodiff of the tick
+    scan yields the exact reverse schedule, so gradients are bit-equal to sequential
+    microbatched execution (GPipe semantics: same math, just scheduled).
+
+    Bubble handling: ticks t >= M re-inject microbatch M-1 into stage 0; their results
+    would only reach the last stage after the final tick, so they are never collected and
+    contribute zero gradient (no masking needed).
+
+    Drop-path RNG: the sequential scan draws ONE mask over the full batch per block;
+    here each (stage-step, microbatch) pair folds the microbatch index into its key so
+    masks stay independent across microbatches (different — but equally valid — randomness
+    than the sequential schedule; exactness tests run with drop_path 0).
+    '''
+    from jax.sharding import PartitionSpec as P
+
+    S = int(cfg.pp_stages)
+    M = int(cfg.pp_microbatches) or S
+    xs0, cls0 = carry
+    B = xs0.shape[0]
+    assert B % M == 0, f'batch {B} not divisible by pp_microbatches {M}'
+    mb = B // M
+    pb, dprs, rngs = scanned_leaves
+    steps = dprs.shape[0]
+    assert steps % S == 0, f'{steps} scan steps not divisible by pp_stages {S}'
+
+    def stage_split(a):
+        return a.reshape((S, a.shape[0] // S) + a.shape[1:])
+
+    def pin(a, lead):
+        if cfg.pipe_axis is None:
+            return a
+        spec = lead + (None,) * (a.ndim - len(lead))
+        return jax.lax.with_sharding_constraint(a, P(*spec))
+
+    # (S, steps/S, ...) stage chunks; contiguous split = relayout-free when the stacked
+    # [L, ...] params are already pipe-sharded on their leading axis (mesh.block_pspec).
+    base = jax.tree_util.tree_map(lambda a: pin(stage_split(a), (cfg.pipe_axis,)),
+                                  (pb, dprs))
+    rngs_s = jax.tree_util.tree_map(stage_split, rngs) if rngs is not None else None
+
+    xs_mb = xs0.reshape((M, mb) + xs0.shape[1:])
+    cls_mb = cls0.reshape((M, mb) + cls0.shape[1:])
+
+    def stage_fn(stage_leaves, c):
+        out, _ = jax.lax.scan(body, c, stage_leaves)
+        return out
+
+    def fold_stage_keys(keys, idx):
+        flat = keys.reshape(-1)
+        folded = jax.vmap(jax.random.fold_in, in_axes=(0, None))(flat, idx)
+        return folded.reshape(keys.shape)
+
+    stage_ids = jnp.arange(S)
+    n_ticks = M + S - 1
+
+    def tick(buf, t):
+        bxs, bcls = buf
+        i_in = jnp.minimum(t, M - 1)
+        bxs = jax.lax.dynamic_update_index_in_dim(
+            bxs, jax.lax.dynamic_index_in_dim(xs_mb, i_in, 0, keepdims=False), 0, 0)
+        bcls = jax.lax.dynamic_update_index_in_dim(
+            bcls, jax.lax.dynamic_index_in_dim(cls_mb, i_in, 0, keepdims=False), 0, 0)
+        bxs = pin(bxs, (cfg.pipe_axis, cfg.batch_axis))
+        bcls = pin(bcls, (cfg.pipe_axis, cfg.batch_axis))
+        if rngs_s is not None:
+            mb_ids = jnp.clip(t - stage_ids, 0, M - 1)  # stage s holds microbatch t - s
+            rngs_t = jax.tree_util.tree_map(
+                lambda k: jax.vmap(fold_stage_keys)(k, mb_ids), rngs_s)
+        else:
+            rngs_t = None
+        oxs, ocls = jax.vmap(stage_fn)((base[0], base[1], rngs_t), (bxs, bcls))
+        out = (oxs[S - 1], ocls[S - 1])
+        nxt = (pin(jnp.roll(oxs, 1, axis=0), (cfg.pipe_axis, cfg.batch_axis)),
+               pin(jnp.roll(ocls, 1, axis=0), (cfg.pipe_axis, cfg.batch_axis)))
+        return nxt, out
+
+    buf0 = (pin(jnp.zeros((S, mb) + xs0.shape[1:], xs0.dtype),
+                (cfg.pipe_axis, cfg.batch_axis)),
+            pin(jnp.zeros((S, mb) + cls0.shape[1:], cls0.dtype),
+                (cfg.pipe_axis, cfg.batch_axis)))
+    _, (ys_xs, ys_cls) = jax.lax.scan(tick, buf0, jnp.arange(n_ticks))
+    # Tick t emits microbatch t - (S - 1); the first S - 1 entries are pipeline warm-up.
+    xs_out = ys_xs[S - 1:].reshape((B,) + xs0.shape[1:])
+    cls_out = ys_cls[S - 1:].reshape((B,) + cls0.shape[1:])
+    return xs_out, cls_out
+
+
 # ---------------------------------------------------------------------------
 # Forward
 # ---------------------------------------------------------------------------
@@ -541,7 +649,11 @@ def forward(params: Dict[str, Any], cfg: TimeSformerConfig, pixels: jnp.ndarray,
                   }[cfg.remat_policy]
         body = jax.checkpoint(body, prevent_cse=False, policy=policy)
 
-    (xs, cls), _ = jax.lax.scan(body, (xs, cls), scanned_leaves)
+    if cfg.pp_stages > 1:
+        # Pipeline-parallel schedule over the stage-chunked block stack (_gpipe_scan).
+        xs, cls = _gpipe_scan(body, (xs, cls), scanned_leaves, cfg)
+    else:
+        (xs, cls), _ = jax.lax.scan(body, (xs, cls), scanned_leaves)
 
     if cfg.norm_embeddings:
         xs = layer_norm(xs, params['norm'], cfg.ln_eps)

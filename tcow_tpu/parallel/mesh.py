@@ -21,22 +21,24 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = 'data'
 SEQ_AXIS = 'seq'
 MODEL_AXIS = 'model'
+PIPE_AXIS = 'pipe'
 
 
 def make_mesh(num_devices: Optional[int] = None, seq: int = 1, model: int = 1,
-              devices=None) -> Mesh:
-    '''(data, seq, model) mesh; seq/model default to size-1 axes (pure data parallel).'''
+              pipe: int = 1, devices=None) -> Mesh:
+    '''(data, seq, model, pipe) mesh; seq/model/pipe default to size-1 axes (pure data
+    parallel). 'pipe' carries GPipe-style pipeline stages (timesformer._gpipe_scan).'''
     if devices is None:
         devices = jax.devices()
     if num_devices is not None:
         devices = devices[:num_devices]
     n = len(devices)
-    assert n % (seq * model) == 0, (n, seq, model)
-    arr = np.array(devices).reshape(n // (seq * model), seq, model)
+    assert n % (seq * model * pipe) == 0, (n, seq, model, pipe)
+    arr = np.array(devices).reshape(n // (seq * model * pipe), seq, model, pipe)
     # Auto axis types: sharding constraints inside the model act as hints (propagated by
     # XLA's SPMD partitioner), not as asserts.
-    return Mesh(arr, (DATA_AXIS, SEQ_AXIS, MODEL_AXIS),
-                axis_types=(jax.sharding.AxisType.Auto,) * 3)
+    return Mesh(arr, (DATA_AXIS, SEQ_AXIS, MODEL_AXIS, PIPE_AXIS),
+                axis_types=(jax.sharding.AxisType.Auto,) * 4)
 
 
 def tp_pspec(path, leaf, model_axis=MODEL_AXIS) -> P:
@@ -59,20 +61,34 @@ def tp_pspec(path, leaf, model_axis=MODEL_AXIS) -> P:
       - everything else (embeddings, norms, temporal_fc, heads, biases of row-parallel
         layers, optimizer scalars): replicated.
     '''
+    return block_pspec(path, leaf, model_axis=model_axis)
+
+
+def block_pspec(path, leaf, model_axis=None, pipe_axis=None) -> P:
+    '''General (TP x PP) PartitionSpec for one (path, leaf) of a tree embedding the seeker
+    params. Composes the Megatron TP layout above (when model_axis is set) with pipeline
+    parallelism (when pipe_axis is set): every stacked-[L, ...] leaf under a 'blocks'
+    subtree shards its leading block axis over pipe_axis — contiguous L/S chunks land on
+    stage devices, exactly matching timesformer._gpipe_scan's (S, L/S, ...) stage split,
+    so the pipeline reshape is relayout-free.'''
     names = tuple(k.key for k in path if isinstance(k, jax.tree_util.DictKey))
     ndim = np.ndim(leaf)
-    if len(names) >= 3 and ndim == 3:
+    lead = pipe_axis if (pipe_axis is not None and 'blocks' in names and ndim >= 1) \
+        else None
+    if model_axis is not None and len(names) >= 3 and ndim == 3:
         gp, parent, leafname = names[-3], names[-2], names[-1]
         if leafname == 'w':
             if parent in ('qkv', 'proj') and gp in ('attn', 'temporal_attn'):
-                return P(None, model_axis, None)
+                return P(lead, model_axis, None)
             if parent == 'fc1' and gp == 'mlp':
-                return P(None, None, model_axis)
+                return P(lead, None, model_axis)
             if parent == 'fc2' and gp == 'mlp':
-                return P(None, model_axis, None)
-    if len(names) >= 3 and ndim == 2:
+                return P(lead, model_axis, None)
+    if model_axis is not None and len(names) >= 3 and ndim == 2:
         if names[-1] == 'b' and names[-2] == 'fc1' and names[-3] == 'mlp':
-            return P(None, model_axis)
+            return P(lead, model_axis)
+    if lead is not None:
+        return P(*((lead,) + (None,) * (ndim - 1)))
     return P()
 
 
@@ -108,11 +124,18 @@ def replicate_tree(tree, mesh: Mesh):
     return shard_tree(tree, mesh)
 
 
-def shard_state(state, mesh: Mesh, tensor_parallel: bool = False):
+def shard_state(state, mesh: Mesh, tensor_parallel: bool = False,
+                pipeline: bool = False):
     '''Places a TrainState (or params tree): tensor-parallel block weights sharded over
-    the model axis (tp_pspec — AdamW moments follow automatically by path suffix), all
-    else replicated.'''
-    return shard_tree(state, mesh, tp_pspec if tensor_parallel else None)
+    the model axis and/or pipeline-stage block chunks over the pipe axis (block_pspec —
+    AdamW moments follow automatically by path suffix), all else replicated.'''
+    if not (tensor_parallel or pipeline):
+        return shard_tree(state, mesh)
+    ma = MODEL_AXIS if tensor_parallel else None
+    pa = PIPE_AXIS if pipeline else None
+    return shard_tree(state, mesh,
+                      lambda path, leaf: block_pspec(path, leaf, model_axis=ma,
+                                                     pipe_axis=pa))
 
 
 def fetch_global(tree):

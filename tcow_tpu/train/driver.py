@@ -42,10 +42,12 @@ def build_seeker_config(args, seeker_args: Dict[str, Any], mesh=None) -> SeekerC
     import jax
     tp = (mesh is not None and mesh_lib.MODEL_AXIS in mesh.shape
           and mesh.shape[mesh_lib.MODEL_AXIS] > 1)
-    # Tensor parallelism runs the XLA attention path: the fused Pallas kernel is a
-    # single-device program (a shard_map wrap is future work), and the 'dots_nb_out'
+    pp = (mesh is not None and mesh_lib.PIPE_AXIS in mesh.shape
+          and mesh.shape[mesh_lib.PIPE_AXIS] > 1)
+    # Tensor/pipeline parallelism run the XLA attention path: the fused Pallas kernel is
+    # a single-device program (a shard_map wrap is future work), and the 'dots_nb_out'
     # policy's named save point only exists inside it.
-    use_pallas = jax.default_backend() == 'tpu' and not tp
+    use_pallas = jax.default_backend() == 'tpu' and not tp and not pp
     overrides = dict(
         compute_dtype=jnp.bfloat16 if getattr(args, 'compute_dtype', 'bfloat16')
         == 'bfloat16' else jnp.float32,
@@ -54,14 +56,36 @@ def build_seeker_config(args, seeker_args: Dict[str, Any], mesh=None) -> SeekerC
         # 'kernel_x' + 'dots_nb_out': in-kernel attention backward (probs recomputed in
         # VMEM from x, zero attention residuals in HBM, fwd kernel never re-run) measured
         # 296 ms/step vs 343 for the saved-residual backward at the flagship config.
-        remat_policy='dots_nb_out' if use_pallas else ('dots_nb' if tp else 'full'),
+        remat_policy='dots_nb_out' if use_pallas else ('dots_nb' if (tp or pp)
+                                                       else 'full'),
         use_pallas_attention=use_pallas,
         attention_bwd='kernel_x' if use_pallas else 'res',
         batch_axis=mesh_lib.DATA_AXIS if mesh is not None else None,
         seq_axis=mesh_lib.SEQ_AXIS
         if mesh is not None and mesh.shape[mesh_lib.SEQ_AXIS] > 1 else None,
-        model_axis=mesh_lib.MODEL_AXIS if tp else None)
+        model_axis=mesh_lib.MODEL_AXIS if tp else None,
+        pipe_axis=mesh_lib.PIPE_AXIS if pp else None,
+        pp_stages=mesh.shape[mesh_lib.PIPE_AXIS] if pp else 1,
+        pp_microbatches=getattr(args, 'pp_microbatches', 0) if pp else 0)
     return seeker_config_from_args(seeker_args, **overrides)
+
+
+def validate_pp_args(args) -> int:
+    '''Checks the pipeline-parallel divisibility constraints up front (clear error instead
+    of a shape failure deep inside jit); returns pp_stages.'''
+    pp_stages = int(getattr(args, 'pp_stages', 1))
+    if pp_stages > 1:
+        depth = int(getattr(args, 'network_depth', 12))
+        group = max(int(getattr(args, 'remat_group', 1)), 1)
+        if (depth // group) % pp_stages != 0:
+            raise ValueError(f'network_depth {depth} / remat_group {group} must be '
+                             f'divisible by pp_stages {pp_stages}')
+        mbs = int(getattr(args, 'pp_microbatches', 0)) or pp_stages
+        if (args.batch_size * args.num_queries) % mbs != 0:
+            raise ValueError(f'batch_size*num_queries '
+                             f'({args.batch_size}*{args.num_queries}) must be divisible '
+                             f'by pp_microbatches {mbs}')
+    return pp_stages
 
 
 def init_seeker_params(rng, cfg: SeekerConfig, seeker_args: Dict[str, Any], logger):
@@ -124,7 +148,8 @@ def main(args, logger):
     # Mesh + model. The data axis must divide the global batch size; shrink it if needed.
     n_dev = args.mesh_devices if args.mesh_devices > 0 else len(jax.devices())
     tp_shards = getattr(args, 'tp_shards', 1)
-    n_par = args.seq_shards * tp_shards
+    pp_stages = validate_pp_args(args)
+    n_par = args.seq_shards * tp_shards * pp_stages
     n_data = max(n_dev // n_par, 1)
     while args.batch_size % n_data != 0:
         n_data -= 1
@@ -132,7 +157,7 @@ def main(args, logger):
         logger.warning(f'Using {n_data * n_par}/{n_dev} devices so the data axis '
                        f'({n_data}) divides batch_size ({args.batch_size}).')
     mesh = mesh_lib.make_mesh(num_devices=n_data * n_par, seq=args.seq_shards,
-                              model=tp_shards)
+                              model=tp_shards, pipe=pp_stages)
     logger.info(f'Device mesh: {dict(mesh.shape)} on {jax.devices()[0].platform}')
 
     seeker_args = config_lib.build_seeker_args(args)
@@ -193,7 +218,8 @@ def main(args, logger):
     eval_step = jax.jit(step_lib.make_eval_step(step_cfg))
     vis_step = jax.jit(step_lib.make_vis_step(step_cfg))
     state = mesh_lib.shard_state(state, mesh,
-                                 tensor_parallel=cfg.model_axis is not None)
+                                 tensor_parallel=cfg.model_axis is not None,
+                                 pipeline=cfg.pipe_axis is not None)
 
     ckpt_thread = [None]
 

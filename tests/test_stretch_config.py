@@ -75,7 +75,7 @@ def test_sequence_parallel_matches_unsharded():
                     reason='~20 min on the 1-core CI host; set TCOW_RUN_SLOW=1')
 def test_vit_l_sequence_parallel_train_step():
     mesh = mesh_lib.make_mesh(seq=4)
-    assert dict(mesh.shape) == {'data': 2, 'seq': 4, 'model': 1}
+    assert dict(mesh.shape) == {'data': 2, 'seq': 4, 'model': 1, 'pipe': 1}
 
     seeker = SeekerConfig(
         num_total_frames=8, frame_height=32, frame_width=64, causal_attention=1,

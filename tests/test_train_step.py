@@ -243,7 +243,7 @@ def test_tensor_parallel_matches_single_device(small_model):
     # (data=2, model=4) mesh: 4 heads -> 1 per model shard; AdamW moments follow the
     # param specs by path suffix; the partitioner inserts the row-parallel psums.
     mesh = mesh_lib.make_mesh(model=4)
-    assert dict(mesh.shape) == {'data': 2, 'seq': 1, 'model': 4}
+    assert dict(mesh.shape) == {'data': 2, 'seq': 1, 'model': 4, 'pipe': 1}
     seeker_tp = dataclasses.replace(cfg.seeker, batch_axis=mesh_lib.DATA_AXIS,
                                     model_axis=mesh_lib.MODEL_AXIS)
     cfg_tp = dataclasses.replace(cfg, seeker=seeker_tp)
