@@ -75,10 +75,10 @@ class TimeSformerConfig:
     seq_axis: Any = None    # mesh axis name for the token dim, e.g. 'seq'
     # Tensor parallelism: when model_axis names a mesh axis, block weights are sharded
     # over it (parallel/mesh.py tp_pspec: row-parallel qkv/proj/fc2, column-parallel fc1)
-    # and attention runs head-parallel (q/k/v head axis constrained below). XLA inserts
-    # the psums after the row-parallel matmuls. Requires num_heads % mesh model size == 0
-    # for communication-free head sharding; XLA-path attention only (the fused Pallas
-    # kernel is a single-device program — a shard_map wrap is future work).
+    # and attention runs head-parallel (q/k/v head axis constrained below; requires
+    # num_heads % mesh model size == 0) on the XLA path, or row-parallel over the model
+    # axis on the fused Pallas path (pallas_attention.fused_attention_rows shard_map
+    # wrap — each shard runs the single-device kernel on its slice of the flat rows).
     model_axis: Any = None
     # Pipeline parallelism (GPipe-style, _gpipe_scan): when pp_stages > 1 the stacked
     # block scan is split into pp_stages contiguous stages and the batch into
@@ -229,15 +229,18 @@ def attention(p, x, num_heads: int, causal_attention: int = 0, use_pallas: bool 
     *lead, S, D = x.shape
     batch_axis, seq_axis, model_axis = axes if axes is not None else (None, None, None)
     if use_pallas:
-        assert model_axis is None, \
-            'tensor parallelism requires the XLA attention path (use_pallas_attention=0)'
         from jax.ad_checkpoint import checkpoint_name
         from tcow_tpu.ops import pallas_attention as pa
         flat = x.reshape(-1, S, D)
         flat_pos = None if pos is None else pos.reshape(-1, S)
-        out = pa.fused_attention(flat, p['qkv']['w'], p['qkv']['b'],
-                                 p['proj']['w'], p['proj']['b'], flat_pos,
-                                 num_heads, causal_attention, attention_bwd, rope)
+        # Multi-chip: the flat rows (whole independent sequences) shard over ALL active
+        # mesh axes — data/seq as-is plus the model axis as extra row parallelism for
+        # attention (the MLP stays Megatron-TP); see fused_attention_rows for why this
+        # beats head-parallel slicing here. Degrades to the plain call with no mesh.
+        out = pa.fused_attention_rows(flat, p['qkv']['w'], p['qkv']['b'],
+                                      p['proj']['w'], p['proj']['b'], flat_pos,
+                                      num_heads, causal_attention, attention_bwd, rope,
+                                      row_axes=(batch_axis, seq_axis, model_axis))
         # Named so the 'dots_nb_out*' remat policies can keep the attention output across
         # the per-block checkpoint boundary (no forward-kernel re-run in the backward).
         out = checkpoint_name(out, 'attn_out')
@@ -476,8 +479,23 @@ def _gpipe_scan(body, carry, scanned_leaves, cfg: 'TimeSformerConfig'):
 
     # (S, steps/S, ...) stage chunks; contiguous split = relayout-free when the stacked
     # [L, ...] params are already pipe-sharded on their leading axis (mesh.block_pspec).
-    base = jax.tree_util.tree_map(lambda a: pin(stage_split(a), (cfg.pipe_axis,)),
-                                  (pb, dprs))
+    # The pin on each param leaf preserves its tensor-parallel layout on the trailing
+    # dims (block_pspec keyed on the path suffix): a bare (pipe, None, ...) hint here
+    # would suggest model-axis replication of TP-sharded block weights inside the tick
+    # loop and invite GSPMD all-gathers (advisor finding, round 2).
+    def pin_param(path, a):
+        a2 = stage_split(a)
+        if cfg.pipe_axis is None:
+            return a2
+        from tcow_tpu.parallel import mesh as mesh_lib
+        tp_spec = mesh_lib.block_pspec(path, a, model_axis=cfg.model_axis)
+        trailing = tuple(tp_spec)[1:]  # drop the (unsplit) leading block-axis entry
+        full = ((cfg.pipe_axis, None) + trailing
+                + (None,) * (a2.ndim - 2 - len(trailing)))
+        return jax.lax.with_sharding_constraint(a2, P(*full))
+
+    base = (jax.tree_util.tree_map_with_path(pin_param, pb),
+            pin(stage_split(dprs), (cfg.pipe_axis,)))
     rngs_s = jax.tree_util.tree_map(stage_split, rngs) if rngs is not None else None
 
     xs_mb = xs0.reshape((M, mb) + xs0.shape[1:])

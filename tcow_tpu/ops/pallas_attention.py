@@ -25,8 +25,30 @@ from jax.experimental.pallas import tpu as pltpu
 from tcow_tpu.ops import rope as rope_lib
 
 
+# Module-level interpret-mode switch: tests / CPU dryruns set this True so every
+# pallas_call in this file (forward, residual-forward, in-kernel backward) runs under the
+# Pallas interpreter — including calls reached through the custom-VJP wiring and under
+# jax.shard_map, where the per-call `interpret=` plumbing cannot reach.
+INTERPRET = False
+
+
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+def _interp(interpret) -> bool:
+    return INTERPRET if interpret is None else interpret
+
+
+def _vma(*arrays):
+    '''Union of the operands' varying-manual-axes: under jax.shard_map(check_vma=True)
+    pallas_call outputs must declare how they vary across the manual mesh axes; outside
+    shard_map this is the empty set and has no effect.'''
+    out = frozenset()
+    for a in arrays:
+        if a is not None:
+            out |= jax.typeof(a).vma
+    return out
 
 
 def attention_ref(x, qkv_w, qkv_b, proj_w, proj_b, num_heads: int, causal_attention: int,
@@ -230,11 +252,13 @@ def _table_in_specs(G, pack, SP, dh):
 
 
 def _fused_attention_fwd_impl(x, qkv_w, qkv_b, proj_w, proj_b, num_heads,
-                              causal_attention, interpret: bool = False,
+                              causal_attention, interpret=None,
                               want_residuals: bool = True, rope: bool = False,
                               pos=None):
+    interpret = _interp(interpret)
     B, S, D, S_pad, pack, G, B_pad = _geometry(x, num_heads)
     SP = S_pad * pack
+    vma = _vma(x, qkv_w, qkv_b, proj_w, proj_b, pos)
     xp = x
     if S_pad != S or B_pad != B:
         xp = jnp.pad(x, ((0, B_pad - B), (0, S_pad - S), (0, 0)))
@@ -264,8 +288,8 @@ def _fused_attention_fwd_impl(x, qkv_w, qkv_b, proj_w, proj_b, num_heads,
     if want_residuals == 'qkv':
         results = pl.pallas_call(
             bind(('qkv_out_ref',)),
-            out_shape=(jax.ShapeDtypeStruct((B_pad, S_pad, D), x.dtype),
-                       jax.ShapeDtypeStruct((B_pad, S_pad, 3 * D), x.dtype)),
+            out_shape=(jax.ShapeDtypeStruct((B_pad, S_pad, D), x.dtype, vma=vma),
+                       jax.ShapeDtypeStruct((B_pad, S_pad, 3 * D), x.dtype, vma=vma)),
             grid=(B_pad // G,),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=_fwd_vmem_limit(x, G, S_pad, pack, D)),
@@ -279,15 +303,15 @@ def _fused_attention_fwd_impl(x, qkv_w, qkv_b, proj_w, proj_b, num_heads,
         out, qkv = results
         return out[:B, :S], qkv, None, None
 
-    out_shape = [jax.ShapeDtypeStruct((B_pad, S_pad, D), x.dtype)]
+    out_shape = [jax.ShapeDtypeStruct((B_pad, S_pad, D), x.dtype, vma=vma)]
     out_specs = [pl.BlockSpec((G, S_pad, D), lambda i: (i, 0, 0),
                               memory_space=pltpu.VMEM)]
     out_names = ()
     if want_residuals:
         out_shape += [
-            jax.ShapeDtypeStruct((B_pad, S_pad, 3 * D), x.dtype),
-            jax.ShapeDtypeStruct((B_pad // pack, num_heads, SP, SP), x.dtype),
-            jax.ShapeDtypeStruct((B_pad, S_pad, D), x.dtype),
+            jax.ShapeDtypeStruct((B_pad, S_pad, 3 * D), x.dtype, vma=vma),
+            jax.ShapeDtypeStruct((B_pad // pack, num_heads, SP, SP), x.dtype, vma=vma),
+            jax.ShapeDtypeStruct((B_pad, S_pad, D), x.dtype, vma=vma),
         ]
         out_specs += [
             pl.BlockSpec((G, S_pad, 3 * D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -437,6 +461,74 @@ def _bwd_res(num_heads, causal_attention, residuals, g, rope: bool = False, pos=
 fused_attention.defvjp(_fwd, _bwd)
 
 
+def fused_attention_rows(x, qkv_w, qkv_b, proj_w, proj_b, pos, num_heads: int,
+                         causal_attention: int, bwd_mode: str = 'res',
+                         rope: bool = False, row_axes=()):
+    '''Row-sharded fused attention over the flat (R, S, D) batch: the multi-chip wrap.
+
+    The divided space-time stack runs attention over many SHORT whole sequences, so the
+    computation is independent per ROW — any partition of rows is numerically exact. This
+    shards the flat row axis over `row_axes` (e.g. ('data', 'seq', 'model')) with
+    jax.shard_map: every shard runs the single-device fused kernel — including the
+    in-kernel custom-VJP backward — on its local rows. Weights enter the manual region
+    replicated (in_spec P()) and shard_map's transpose psums their cotangents across all
+    row shards, which is exactly the DP/SP/TP gradient reduction.
+
+    Row-parallelism is deliberately used for the TENSOR-parallel axis too (instead of
+    head-parallel slicing): the B-major flat rows mean the (data, seq, model) row blocks
+    are local slices of the incoming P(data, seq)-sharded activations (zero input comm),
+    and the output gather over 'model' moves the same bytes as the head-parallel proj
+    psum — while the kernel geometry, the packed masking, and the in-kernel backward stay
+    byte-identical to the single-device program. The tradeoff is that the attention
+    weights are broadcast into the region per call (the MLP keeps its Megatron layout,
+    parallel/mesh.py tp_pspec).
+
+    Rows are zero-padded up to a multiple of the shard count (zero rows softmax to finite
+    garbage that is sliced off; the sliced outputs get zero cotangents, so no gradient
+    leaks). Requires an ambient mesh (jax.set_mesh); with no mesh, no named axes, or
+    all-size-1 axes this degrades to the plain single-device call.
+    '''
+    row_axes = tuple(a for a in row_axes if a is not None)
+    mesh = jax.sharding.get_abstract_mesh()
+    shards = 1
+    if row_axes and mesh is not None and not mesh.empty:
+        sizes = dict(mesh.shape)
+        row_axes = tuple(a for a in row_axes if sizes.get(a, 1) > 1)
+        for a in row_axes:
+            shards *= sizes[a]
+    if shards == 1:
+        return fused_attention(x, qkv_w, qkv_b, proj_w, proj_b, pos, num_heads,
+                               causal_attention, bwd_mode, rope)
+
+    from jax.sharding import PartitionSpec as P
+    R, S, D = x.shape
+    R_pad = _round_up(R, shards)
+    xp = jnp.pad(x, ((0, R_pad - R), (0, 0), (0, 0))) if R_pad != R else x
+    row_spec = P(row_axes, None, None)
+
+    if pos is not None:
+        posp = jnp.pad(pos, ((0, R_pad - R), (0, 0))) if R_pad != R else pos
+
+        def body_pos(xl, posl, qw, qb, pw, pb):
+            return fused_attention(xl, qw, qb, pw, pb, posl, num_heads,
+                                   causal_attention, bwd_mode, rope)
+
+        out = jax.shard_map(body_pos, mesh=mesh,
+                            in_specs=(row_spec, P(row_axes, None), P(), P(), P(), P()),
+                            out_specs=row_spec, check_vma=False)(
+            xp, posp, qkv_w, qkv_b, proj_w, proj_b)
+    else:
+        def body(xl, qw, qb, pw, pb):
+            return fused_attention(xl, qw, qb, pw, pb, None, num_heads,
+                                   causal_attention, bwd_mode, rope)
+
+        out = jax.shard_map(body, mesh=mesh,
+                            in_specs=(row_spec, P(), P(), P(), P()),
+                            out_specs=row_spec, check_vma=False)(
+            xp, qkv_w, qkv_b, proj_w, proj_b)
+    return out[:R] if R_pad != R else out
+
+
 # ---------------------------------------------------------------------------
 # Fully in-kernel backward: recompute probs/attn in VMEM (optionally qkv too) and emit
 # dqkv + attn; no probs/attn residual ever touches HBM. Weight/bias/input gradients are
@@ -529,12 +621,14 @@ def _bwd_kernel(x_ref, g_ref, qkv_w_ref, qkv_b_ref, proj_w_ref, *rest,
 
 
 def _fused_attention_bwd_impl(x, g, qkv_w, qkv_b, proj_w, qkv, num_heads,
-                              causal_attention, interpret: bool = False,
+                              causal_attention, interpret=None,
                               rope: bool = False, pos=None):
     '''Runs the in-kernel backward; qkv=None recomputes qkv from x inside the kernel.
     Returns (dx, dqkv_w, dqkv_b, dproj_w, dproj_b).'''
+    interpret = _interp(interpret)
     B, S, D, S_pad, pack, G, B_pad = _geometry(x, num_heads)
     SP = S_pad * pack
+    vma = _vma(x, g, qkv_w, qkv_b, proj_w, qkv, pos)
 
     def pad3(a):
         if a.shape[0] != B_pad or a.shape[1] != S_pad:
@@ -562,8 +656,8 @@ def _fused_attention_bwd_impl(x, g, qkv_w, qkv_b, proj_w, qkv, num_heads,
                                      memory_space=pltpu.VMEM))
 
     out_shape = (
-        jax.ShapeDtypeStruct((B_pad, S_pad, 3 * D), x.dtype),    # dqkv
-        jax.ShapeDtypeStruct((B_pad, S_pad, D), x.dtype),        # attn (pre-projection)
+        jax.ShapeDtypeStruct((B_pad, S_pad, 3 * D), x.dtype, vma=vma),  # dqkv
+        jax.ShapeDtypeStruct((B_pad, S_pad, D), x.dtype, vma=vma),  # attn (pre-projection)
     )
     out_specs = (
         pl.BlockSpec((G, S_pad, 3 * D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),

@@ -44,10 +44,12 @@ def build_seeker_config(args, seeker_args: Dict[str, Any], mesh=None) -> SeekerC
           and mesh.shape[mesh_lib.MODEL_AXIS] > 1)
     pp = (mesh is not None and mesh_lib.PIPE_AXIS in mesh.shape
           and mesh.shape[mesh_lib.PIPE_AXIS] > 1)
-    # Tensor/pipeline parallelism run the XLA attention path: the fused Pallas kernel is
-    # a single-device program (a shard_map wrap is future work), and the 'dots_nb_out'
-    # policy's named save point only exists inside it.
-    use_pallas = jax.default_backend() == 'tpu' and not tp and not pp
+    # The fused Pallas kernel composes with DP/SP/TP meshes via the row-sharded
+    # shard_map wrap (pallas_attention.fused_attention_rows): every shard runs the
+    # single-device kernel incl. the in-kernel backward on its local rows. Pipeline
+    # parallelism still runs the XLA attention path (the pallas_call would sit under the
+    # stage vmap inside the tick scan — unvalidated).
+    use_pallas = jax.default_backend() == 'tpu' and not pp
     overrides = dict(
         compute_dtype=jnp.bfloat16 if getattr(args, 'compute_dtype', 'bfloat16')
         == 'bfloat16' else jnp.float32,
@@ -56,8 +58,7 @@ def build_seeker_config(args, seeker_args: Dict[str, Any], mesh=None) -> SeekerC
         # 'kernel_x' + 'dots_nb_out': in-kernel attention backward (probs recomputed in
         # VMEM from x, zero attention residuals in HBM, fwd kernel never re-run) measured
         # 296 ms/step vs 343 for the saved-residual backward at the flagship config.
-        remat_policy='dots_nb_out' if use_pallas else ('dots_nb' if (tp or pp)
-                                                       else 'full'),
+        remat_policy='dots_nb_out' if use_pallas else ('dots_nb' if pp else 'full'),
         use_pallas_attention=use_pallas,
         attention_bwd='kernel_x' if use_pallas else 'res',
         batch_axis=mesh_lib.DATA_AXIS if mesh is not None else None,
@@ -77,7 +78,11 @@ def validate_pp_args(args) -> int:
     if pp_stages > 1:
         depth = int(getattr(args, 'network_depth', 12))
         group = max(int(getattr(args, 'remat_group', 1)), 1)
-        if (depth // group) % pp_stages != 0:
+        n_steps, rem = divmod(depth, group)
+        if rem != 0:
+            raise ValueError(f'network_depth {depth} must be divisible by '
+                             f'remat_group {group}')
+        if n_steps % pp_stages != 0:
             raise ValueError(f'network_depth {depth} / remat_group {group} must be '
                              f'divisible by pp_stages {pp_stages}')
         mbs = int(getattr(args, 'pp_microbatches', 0)) or pp_stages

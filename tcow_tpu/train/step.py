@@ -209,7 +209,16 @@ def make_vis_step(cfg: StepConfig, max_queries: int = 2):
     come from the train step itself. The payload carries the UNPACKED, device-augmented
     rgb ('seeker_rgb'): with --device_augs the host-side rgb is pre-jitter, and overlays
     must show the frames the model actually saw. Everything per-pixel arrives as float16
-    slices (first max_queries queries) to keep the host fetch small.'''
+    slices (first max_queries queries) to keep the host fetch small.
+
+    Pipeline parallelism is disabled for this forward: the example-0 slice shrinks the
+    backbone batch to 1*num_queries, which generally does not divide pp_microbatches
+    (e.g. --num_queries 1 with --pp_stages 2) — _gpipe_scan would assert on every overlay
+    render. The sequential scan is the same math, so overlays are exact regardless.'''
+    if cfg.seeker.pp_stages > 1:
+        cfg = dataclasses.replace(
+            cfg, seeker=dataclasses.replace(cfg.seeker, pp_stages=1, pp_microbatches=0,
+                                            pipe_axis=None))
     eval_step = make_eval_step(cfg, return_outputs=True)
 
     def vis_step(params, batch, progress):

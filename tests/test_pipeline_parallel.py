@@ -65,8 +65,10 @@ def test_gpipe_forward_and_grads_match_sequential(small_presets):
                   dict(pp_stages=2, pp_microbatches=4, remat=True, remat_group=2)):
         cfg_pp = dataclasses.replace(cfg, **pp_kw)
         a2, c2 = jax.jit(lambda p, x: tsf.forward(p, cfg_pp, x))(params, x)
-        np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), atol=2e-6), pp_kw
-        np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=2e-6), pp_kw
+        np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), atol=2e-6,
+                                   err_msg=str(pp_kw))
+        np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=2e-6,
+                                   err_msg=str(pp_kw))
         g1 = grads(dataclasses.replace(cfg, remat=cfg_pp.remat,
                                        remat_policy=cfg_pp.remat_policy,
                                        remat_group=cfg_pp.remat_group))
@@ -171,6 +173,32 @@ def test_driver_validates_pp_divisibility():
                                    '--pp_microbatches', '7'] + dp)
     with pytest.raises(ValueError, match='pp_microbatches'):
         driver_lib.validate_pp_args(args2)
+    # depth % remat_group != 0 passed the old floor-division check (12 // 5 = 2) and then
+    # died on a bare shape assert deep inside jit (advisor finding, round 2).
+    args3 = config_lib.train_args(['--name', 'ppbad3', '--pp_stages', '2',
+                                   '--remat_group', '5', '--batch_size', '2',
+                                   '--num_queries', '2'] + dp)
+    with pytest.raises(ValueError, match='remat_group'):
+        driver_lib.validate_pp_args(args3)
     ok = config_lib.train_args(['--name', 'ppok', '--pp_stages', '2', '--batch_size',
                                 '2', '--num_queries', '2'] + dp)
     assert driver_lib.validate_pp_args(ok) == 2
+
+
+def test_vis_step_under_pipeline_parallel(small_presets):
+    '''make_vis_step must run under a PP config whose microbatch count does not divide the
+    example-0 sliced batch (1 * num_queries): the vis forward drops to the sequential scan
+    (same math), so overlays render instead of tripping _gpipe_scan's divisibility assert
+    on every interval (advisor finding, round 2 — num_queries=1, pp_stages=2 reproduced).'''
+    seeker = SeekerConfig(num_total_frames=4, frame_height=32, frame_width=32,
+                          causal_attention=1, drop_path_rate=0.0, network_depth=2,
+                          pp_stages=2, pp_microbatches=2)
+    cfg = step_lib.StepConfig(seeker=seeker, loss=LossConfig(), num_queries=1)
+    tx = optim.make_optimizer('adamw', learn_rate=1e-3, num_epochs=10, steps_per_epoch=5)
+    state = step_lib.init_train_state(jax.random.key(0), cfg, tx)
+    batch_np = synthetic_device_batch(3, B=2, Q=1, T=4, H=32, W=32, M=6, K=3)
+    vis_step = jax.jit(step_lib.make_vis_step(cfg))
+    out = vis_step(state.params, {k: jnp.asarray(v) for k, v in batch_np.items()},
+                   jnp.float32(0.0))
+    assert np.isfinite(float(out['total_seeker']))
+    assert out['output_mask'].shape[0] == 1

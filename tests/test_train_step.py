@@ -275,6 +275,50 @@ def test_tensor_parallel_matches_single_device(small_model):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)
 
 
+@pytest.mark.parametrize('mesh_kw', [{'seq': 4}, {'model': 4}, {'seq': 2, 'model': 2}])
+def test_pallas_kernel_path_on_sharded_mesh(small_model, mesh_kw):
+    '''The FULL train step with the fused Pallas attention (in-kernel 'kernel_x' backward
+    + 'dots_nb_out' remat — the measured-fastest single-chip config) must reproduce the
+    single-device XLA-attention step on sharded meshes: the kernel runs under the
+    fused_attention_rows shard_map wrap (interpret mode on CPU). Covers (data x seq),
+    (data x model), and the 3-D mesh — VERDICT round 2, task 1.'''
+    import dataclasses
+    from tcow_tpu.ops import pallas_attention as pa
+    cfg, tx, state = make_cfg_and_state()
+    batch_np = tiny_batch(B=2, seed=11)
+
+    train_step = jax.jit(step_lib.make_train_step(cfg, tx))
+    state1, aux1 = train_step(state, {k: jnp.asarray(v) for k, v in batch_np.items()},
+                              jnp.float32(0.0))
+
+    mesh = mesh_lib.make_mesh(**mesh_kw)
+    seeker_k = dataclasses.replace(
+        cfg.seeker, batch_axis=mesh_lib.DATA_AXIS,
+        seq_axis=mesh_lib.SEQ_AXIS if mesh_kw.get('seq', 1) > 1 else None,
+        model_axis=mesh_lib.MODEL_AXIS if mesh_kw.get('model', 1) > 1 else None,
+        use_pallas_attention=True, attention_bwd='kernel_x',
+        remat=True, remat_policy='dots_nb_out')
+    cfg_k = dataclasses.replace(cfg, seeker=seeker_k)
+    step_k = jax.jit(step_lib.make_train_step(cfg_k, tx))
+    old = pa.INTERPRET
+    pa.INTERPRET = True
+    try:
+        with jax.set_mesh(mesh):
+            state_s = mesh_lib.shard_state(state, mesh,
+                                           tensor_parallel=mesh_kw.get('model', 1) > 1)
+            batch_sh = mesh_lib.shard_batch(batch_np, mesh)
+            state_k, aux_k = step_k(state_s, batch_sh, jnp.float32(0.0))
+            loss_k = float(aux_k['total_seeker'])
+            params_k = jax.device_get(state_k.params)
+    finally:
+        pa.INTERPRET = old
+    np.testing.assert_allclose(loss_k, float(aux1['total_seeker']), rtol=5e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(state1.params),
+                    jax.tree_util.tree_leaves(params_k)):
+        # Kernel-vs-XLA float noise + cross-shard reduction order.
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5)
+
+
 def test_tensor_parallel_with_seq_and_data(small_model):
     '''Full 3-D mesh (data=2, seq=2, model=2): DP x SP x TP composed in one step.'''
     import dataclasses
