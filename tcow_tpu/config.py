@@ -62,14 +62,20 @@ def shared_args(parser: argparse.ArgumentParser):
     parser.add_argument('--tp_shards', default=1, type=int,
                         help='Tensor-parallel shards (model mesh axis): block weights + '
                              'attention heads sharded, for models past one chip\'s HBM. '
-                             'Uses the XLA attention path (the fused Pallas kernel is '
-                             'single-device).')
+                             'Composes with the fused Pallas kernel via the row-sharded '
+                             'shard_map wrap (pallas_attention.fused_attention_rows).')
+    parser.add_argument('--grad_accum', default=1, type=int,
+                        help='Gradient accumulation: split the batch into this many '
+                             'microbatches, run forward+backward per microbatch under '
+                             'lax.scan, average gradients, apply ONE optimizer update — '
+                             'emulates batches past one chip\'s HBM (e.g. --batch_size 4 '
+                             '--grad_accum 2 on a 16 GB v5e). Must divide batch_size.')
     parser.add_argument('--pp_stages', default=1, type=int,
                         help='Pipeline-parallel stages (pipe mesh axis): the block stack '
                              'is split into contiguous stages and microbatches stream '
                              'through them GPipe-style (timesformer._gpipe_scan). '
                              'Requires network_depth %% (pp_stages * remat_group) == 0. '
-                             'Uses the XLA attention path (like --tp_shards).')
+                             'Uses the XLA attention path.')
     parser.add_argument('--pp_microbatches', default=0, type=int,
                         help='Microbatches for pipeline parallelism; 0 = pp_stages. Must '
                              'divide batch_size * num_queries.')

@@ -219,7 +219,13 @@ def main(args, logger):
                 logger.warning('Resuming from a params-only (--checkpoint_light) '
                                'checkpoint: optimizer/LR-schedule state is REINITIALIZED.')
 
-    train_step = jax.jit(step_lib.make_train_step(step_cfg, tx), donate_argnums=(0,))
+    grad_accum = max(1, int(getattr(args, 'grad_accum', 1)))
+    if grad_accum > 1 and args.batch_size % grad_accum != 0:
+        raise ValueError(f'batch_size {args.batch_size} must be divisible by '
+                         f'grad_accum {grad_accum}')
+    train_step = jax.jit(step_lib.make_train_step(step_cfg, tx,
+                                                  grad_accum=grad_accum),
+                         donate_argnums=(0,))
     eval_step = jax.jit(step_lib.make_eval_step(step_cfg))
     vis_step = jax.jit(step_lib.make_vis_step(step_cfg))
     state = mesh_lib.shard_state(state, mesh,

@@ -139,13 +139,64 @@ def _loss_and_aux(params, cfg: StepConfig, batch, rng, progress, train: bool):
 
 
 def make_train_step(cfg: StepConfig, tx: optax.GradientTransformation,
-                    donate: bool = True):
-    '''Returns train_step(state, batch, progress) -> (state, scalars_dict), jittable.'''
+                    donate: bool = True, grad_accum: int = 1):
+    '''Returns train_step(state, batch, progress) -> (state, scalars_dict), jittable.
+
+    grad_accum > 1 splits the batch into `grad_accum` equal microbatches, runs
+    forward+backward per microbatch under lax.scan (so only ONE microbatch's activations
+    are ever live), averages the gradients, and applies a single optimizer update —
+    emulating a batch that exceeds one chip's HBM (B=4 at the flagship config compiles to
+    20.1 GB > 15.75 GB; B=2 microbatches fit, the f32 grad accumulator adds ~0.5 GB).
+    Semantics: each microbatch's losses are its own batch-global masked means (class
+    balancing, top-k bootstrap, selection-count normalizers — losses.py), so the averaged
+    gradient equals a true large batch only up to those per-microbatch normalizers — the
+    same deviation every per-device-loss DDP setup has; trajectory equivalence is tested
+    in tests/test_grad_accum.py. Batch-coupled leaves with a leading batch dim are split;
+    scalars (query_time) are shared. Under a data-parallel mesh the microbatch slice
+    keeps the batch sharding (B/grad_accum must still divide the data-axis size).'''
+    A = max(1, int(grad_accum))
 
     def train_step(state: TrainState, batch, progress):
         rng, rng_dp = jax.random.split(state.rng)
         grad_fn = jax.value_and_grad(_loss_and_aux, has_aux=True)
-        (loss, aux), grads = grad_fn(state.params, cfg, batch, rng_dp, progress, True)
+        if A == 1:
+            (loss, aux), grads = grad_fn(state.params, cfg, batch, rng_dp, progress,
+                                         True)
+        else:
+            split, shared = {}, {}
+            for k, v in batch.items():
+                if getattr(v, 'ndim', 0) > 0:
+                    assert v.shape[0] % A == 0, (k, v.shape, A)
+                    split[k] = v.reshape((A, v.shape[0] // A) + v.shape[1:])
+                else:
+                    shared[k] = v
+            rngs = jax.random.split(rng_dp, A)
+
+            def one(rng_i, batch_i):
+                return grad_fn(state.params, cfg, {**batch_i, **shared}, rng_i,
+                               progress, True)
+
+            # Microbatch 0 runs standalone to seed the accumulator with the right pytree
+            # structure; 1..A-1 stream through a scan accumulating sums in place.
+            (loss0, aux0), g0 = one(rngs[0], {k: v[0] for k, v in split.items()})
+
+            def body(acc, xs):
+                rng_i, batch_i = xs
+                (l, a), g = one(rng_i, batch_i)
+                l_acc, a_acc, g_acc = acc
+                return (l_acc + l, jax.tree_util.tree_map(jnp.add, a_acc, a),
+                        jax.tree_util.tree_map(jnp.add, g_acc, g)), None
+
+            (loss_sum, aux_sum, grad_sum), _ = jax.lax.scan(
+                body, (loss0, aux0, g0),
+                (rngs[1:], {k: v[1:] for k, v in split.items()}))
+            inv = jnp.float32(1.0 / A)
+            loss = loss_sum * inv
+            grads = jax.tree_util.tree_map(lambda g: g * inv, grad_sum)
+            # metric_sums are COUNTS (masked sums) — keep summed; scalar losses average.
+            aux = {k: (v if k == 'metric_sums'
+                       else jax.tree_util.tree_map(lambda x: x * inv, v))
+                   for k, v in aux_sum.items()}
 
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
