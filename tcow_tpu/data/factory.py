@@ -103,11 +103,51 @@ class PrefetchLoader:
     def __iter__(self):
         return self.iter_batches(0)
 
+    def start_ahead(self, epoch: int, prefetch_depth: Optional[int] = None):
+        '''Begin producing epoch `epoch`'s batches into the bounded prefetch queue NOW —
+        e.g. kick off a validation loader's item pipeline while the train epoch is still
+        running on the device (round-2 accounting showed val epochs ~59% loader-wait
+        because their cold pipelines only started when the train epoch finished). The
+        next iter_batches(0) at this epoch consumes the pre-started producer; any other
+        iteration tears it down. `prefetch_depth` overrides the queue bound for the
+        pre-started producer (a whole small val epoch can be staged during a train
+        epoch); item memory stays bounded by depth x batch bytes.'''
+        self.set_epoch(epoch)
+        self._teardown_ahead()
+        self._ahead = (epoch, self._spawn(0, prefetch_depth=prefetch_depth))
+
+    def _teardown_ahead(self):
+        ahead = getattr(self, '_ahead', None)
+        if ahead is not None:
+            ahead[1][1].set()  # stop event: producer drains and exits
+            self._ahead = None
+
     def iter_batches(self, start_step: int = 0):
         '''Iterate this epoch's batches from `start_step` onward. The batch ORDER is a
         pure function of (seed, epoch), so a mid-epoch resume (preemption checkpoint)
         skips the first `start_step` batches without loading a single item and visits
         exactly the examples the interrupted run had left.'''
+        ahead = getattr(self, '_ahead', None)
+        if ahead is not None and ahead[0] == self.epoch and start_step == 0:
+            self._ahead = None
+            handle = ahead[1]
+        else:
+            self._teardown_ahead()
+            handle = self._spawn(start_step)
+        q, stop = handle
+        try:
+            while True:
+                kind, payload = q.get()
+                if kind == 'done':
+                    return
+                if kind == 'err':
+                    raise payload
+                yield payload
+        finally:
+            stop.set()
+
+    def _spawn(self, start_step: int, prefetch_depth: Optional[int] = None):
+        '''Starts the producer thread for this epoch; returns (queue, stop_event).'''
         rng = np.random.default_rng(self.seed * 77 + self.epoch)
         order = np.arange(len(self.dataset))
         if self.shuffle:
@@ -120,7 +160,7 @@ class PrefetchLoader:
             lo = self.shard_rank * b_local
             batches = [b[lo:lo + b_local] for b in batches]
 
-        q: 'queue.Queue' = queue.Queue(maxsize=self.prefetch_depth)
+        q: 'queue.Queue' = queue.Queue(maxsize=prefetch_depth or self.prefetch_depth)
         stop = threading.Event()
 
         def make_pool():
@@ -169,16 +209,7 @@ class PrefetchLoader:
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        try:
-            while True:
-                kind, payload = q.get()
-                if kind == 'done':
-                    return
-                if kind == 'err':
-                    raise payload
-                yield payload
-        finally:
-            stop.set()
+        return q, stop
 
 
 def _device_color_jitter_auto(args) -> bool:

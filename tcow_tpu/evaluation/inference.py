@@ -68,7 +68,8 @@ class InferenceEngine:
         self.params = jax.device_put(params)
         self.cfg = cfg
         step_cfg = step_lib.StepConfig(seeker=cfg, loss=loss_cfg, num_queries=num_queries)
-        self._kubric_step = jax.jit(step_lib.make_eval_step(step_cfg, return_outputs=True))
+        self._kubric_step = jax.jit(step_lib.make_eval_step(step_cfg, return_outputs=True,
+                                                            per_example=True))
         self._plugin_step = jax.jit(self._plugin_fn)
 
     def _plugin_fn(self, params, rgb, query, target, frame_times):
@@ -79,9 +80,15 @@ class InferenceEngine:
             o[None, None], t[None, None]))(out_mask, target)
         return out_mask, out_flags, per_ex
 
-    def run_kubric(self, device_batch: Dict[str, Any], progress: float = 1.0):
-        '''One kubric test batch -> (model_retval, loss_retval) on host, reference schemas
-        (pipeline.py:186-198, loss.py:323-327).'''
+    def run_kubric(self, device_batch: Dict[str, Any], progress: float = 1.0,
+                   valid: int = -1):
+        '''One kubric test batch of K clips, ONE device step -> list of K per-clip
+        (model_retval, loss_retval) in the reference schemas (pipeline.py:186-198,
+        loss.py:323-327). The forward is batched (VERDICT round 2, task 2: the
+        reference's batch-1 force at args.py:276 was a torch-memory artifact); losses and
+        metrics come from per-example B=1 slices inside the jitted step, so every clip's
+        numbers are exactly the batch-1 protocol's. `valid` truncates the output list
+        (tail batches padded by the caller to keep one compiled shape).'''
         import jax
         import jax.numpy as jnp
         batch = {k: jnp.asarray(v) for k, v in device_batch.items()}
@@ -91,23 +98,32 @@ class InferenceEngine:
             seeker_input = device_batch['rgb']
         else:
             seeker_input = device_batch['rgb_u8'].astype(np.float32) / 255.0
-        model_retval = {
-            'seeker_input': seeker_input,
-            'output_mask': aux['output_mask'],
-            'output_flags': aux['output_flags'],
-            'target_mask': aux['target_mask'],
-            'seeker_query_mask': aux['seeker_query_mask'],
-            'snitch_weights': aux['snitch_weights'],
-            'sel_query_inds': device_batch['query_inds'],
-        }
-        loss_retval = {
-            'track': float(aux['track']),
-            'occl_mask': float(aux['occl_mask']),
-            'cont_mask': float(aux['cont_mask']),
-            'total_seeker': float(aux['total_seeker']),
-            'metrics': metrics_lib.finalize_metric_sums(aux['metric_sums']),
-        }
-        return model_retval, loss_retval
+        B = seeker_input.shape[0]
+        n = B if valid < 0 else min(valid, B)
+        results = []
+        for b in range(n):
+            sl = slice(b, b + 1)
+            model_retval = {
+                'seeker_input': seeker_input[sl],
+                'output_mask': aux['output_mask'][sl],
+                'output_flags': (None if aux['output_flags'] is None
+                                 else aux['output_flags'][sl]),
+                'target_mask': aux['target_mask'][sl],
+                'seeker_query_mask': aux['seeker_query_mask'][sl],
+                'snitch_weights': (None if aux['snitch_weights'] is None
+                                   else aux['snitch_weights'][sl]),
+                'sel_query_inds': np.asarray(device_batch['query_inds'])[sl],
+            }
+            loss_retval = {
+                'track': float(aux['track'][b]),
+                'occl_mask': float(aux['occl_mask'][b]),
+                'cont_mask': float(aux['cont_mask'][b]),
+                'total_seeker': float(aux['total_seeker'][b]),
+                'metrics': metrics_lib.finalize_metric_sums(
+                    {k: v[b] for k, v in aux['metric_sums'].items()}),
+            }
+            results.append((model_retval, loss_retval))
+        return results
 
     def run_plugin_stream(self, ex: Dict[str, Any], window: int, pinned_frames: int = 1):
         '''Windowed streaming over a FULL video (any length): one stream_step per frame,

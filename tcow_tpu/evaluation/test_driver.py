@@ -41,33 +41,58 @@ def test_results_to_dataframe(inference_retvals: List[Dict]) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def _pad_device_batch(device_batch: Dict[str, Any], to: int) -> Dict[str, Any]:
+    '''Pads a tail batch to the full device batch size by repeating the last clip
+    (keeps ONE compiled shape across the run; padded rows are dropped via `valid`).'''
+    out = {}
+    for k, v in device_batch.items():
+        if getattr(v, 'ndim', 0) > 0 and v.shape[0] < to:
+            reps = np.repeat(v[-1:], to - v.shape[0], axis=0)
+            out[k] = np.concatenate([v, reps], axis=0)
+        else:
+            out[k] = v
+    return out
+
+
 def _test_inner_kubric(all_args, engine, loader, logger, step_offset):
+    '''Batched kubric evaluation: the loader yields K clips per batch, ONE jitted device
+    step scores all of them, and per-clip CSV rows / friendly names / pickles are emitted
+    exactly as the reference's clip-at-a-time protocol would (per-example losses inside
+    the step — see InferenceEngine.run_kubric).'''
     retvals = []
     start_time = time.time()
+    device_bs = max(1, loader.batch_size)
+    real_step = step_offset
     for cur_step, batch in enumerate(loader):
-        real_step = cur_step + step_offset
         if cur_step == 0:
             logger.info(f'Enter first data loader iteration took '
                         f'{time.time() - start_time:.3f}s')
-        model_retval, loss_retval = engine.run_kubric(batch['device'])
         meta = batch['meta']
-        retval = {
-            'source_name': 'kubric',
-            'dset_idx': int(meta['dset_idx'][0]),
-            'scene_idx': int(meta['scene_idx'][0]),
-            'scene_dn': meta['scene_dn'][0],
-            'loss_retval': loss_retval,
-            'model_retval': model_retval,
-        }
-        retval['friendly_short_name'] = logger.handle_test_step(
-            real_step, {'source_name': 'kubric', 'scene_dn': retval['scene_dn'],
-                        'dset_idx': retval['dset_idx']},
-            model_retval, loss_retval)
-        if all_args['test'].store_results:
-            logger.save_pickle({k: v for k, v in retval.items() if k != 'model_retval'},
-                               f'results/inference_retval_s{real_step}.p')
-        retval.pop('model_retval')
-        retvals.append(retval)
+        n_valid = len(meta['scene_idx'])
+        device_batch = batch['device']
+        if n_valid < device_bs:
+            device_batch = _pad_device_batch(device_batch, device_bs)
+        for j, (model_retval, loss_retval) in enumerate(
+                engine.run_kubric(device_batch, valid=n_valid)):
+            retval = {
+                'source_name': 'kubric',
+                'dset_idx': int(meta['dset_idx'][j]),
+                'scene_idx': int(meta['scene_idx'][j]),
+                'scene_dn': meta['scene_dn'][j],
+                'loss_retval': loss_retval,
+                'model_retval': model_retval,
+            }
+            retval['friendly_short_name'] = logger.handle_test_step(
+                real_step, {'source_name': 'kubric', 'scene_dn': retval['scene_dn'],
+                            'dset_idx': retval['dset_idx']},
+                model_retval, loss_retval)
+            if all_args['test'].store_results:
+                logger.save_pickle(
+                    {k: v for k, v in retval.items() if k != 'model_retval'},
+                    f'results/inference_retval_s{real_step}.p')
+            retval.pop('model_retval')
+            retvals.append(retval)
+            real_step += 1
     return retvals
 
 

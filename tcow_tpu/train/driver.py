@@ -312,6 +312,20 @@ def main(args, logger):
                     logger.warning(f'Preempted: exiting before epoch {epoch}.')
                     break
                 ep_start = start_step if epoch == start_epoch else 0
+                # Warm the val pipelines DURING the train epoch: steady-state train
+                # epochs are device-bound (6-9% loader wait, BASELINE.md) while val
+                # epochs measured ~59% loader-wait because their cold item pipelines
+                # only started after training finished. A deep prefetch stages the whole
+                # (small) val epoch concurrently with training.
+                if epoch % args.val_every == 0:
+                    if args.do_val_aug and val_aug_loader is not None \
+                            and hasattr(val_aug_loader, 'start_ahead'):
+                        val_aug_loader.start_ahead(
+                            epoch, prefetch_depth=max(len(val_aug_loader), 2))
+                    if args.do_val_noaug and val_noaug_loader is not None \
+                            and hasattr(val_noaug_loader, 'start_ahead'):
+                        val_noaug_loader.start_ahead(
+                            epoch, prefetch_depth=max(len(val_noaug_loader), 2))
                 state, steps_done = _run_one_epoch(
                     args, logger, mesh, state, train_step, None, train_loader, 'train',
                     epoch, steps_per_epoch, total_steps_all, vis_step=vis_step,
@@ -341,6 +355,11 @@ def main(args, logger):
     finally:
         if old_sigterm is not None:
             signal.signal(signal.SIGTERM, old_sigterm)
+        for vl in (val_aug_loader, val_noaug_loader):
+            # A preemption between the ahead-start and the val phase must not leave
+            # producer threads loading items while the checkpoint write runs.
+            if vl is not None and hasattr(vl, '_teardown_ahead'):
+                vl._teardown_ahead()
     logger.info('Training done.')
     return state
 

@@ -216,13 +216,20 @@ def make_train_step(cfg: StepConfig, tx: optax.GradientTransformation,
     return train_step
 
 
-def make_eval_step(cfg: StepConfig, return_outputs: bool = False):
+def make_eval_step(cfg: StepConfig, return_outputs: bool = False,
+                   per_example: bool = False):
     '''Returns eval_step(params, batch, progress) -> scalars dict (losses + metric sums);
     no gradients, no dropout/drop-path. With return_outputs, the dict also carries the
-    output/target/query mask arrays for visualization and itemized evaluation.'''
+    output/target/query mask arrays for visualization and itemized evaluation.
+
+    per_example (implies return_outputs): the ONE batched forward is shared, but losses
+    and metric sums are computed per example via vmap over B=1 slices — each clip's
+    numbers are then EXACTLY what the reference's forced batch-1 protocol
+    (/root/reference/args.py:276) produces, while the device step amortizes K clips
+    (batched kubric evaluation; every scalar in the result has a leading B axis).'''
 
     def eval_step(params, batch, progress):
-        if not return_outputs:
+        if not (return_outputs or per_example):
             _, aux = _loss_and_aux(params, cfg, batch, None, progress, False)
             return aux
         batch = unpack_batch(batch)
@@ -230,10 +237,24 @@ def make_eval_step(cfg: StepConfig, return_outputs: bool = False):
         out_mask, out_flags = _forward_queries(params, cfg, batch, sup, False, None)
         sel_occl_fracs = jax.vmap(lambda of, qi: of[qi])(batch['occl_fracs'],
                                                          batch['query_inds'])
-        loss_retval = losses_lib.compute_losses(
-            cfg.loss, out_mask, sup['target_mask'], sel_occl_fracs,
-            sup['snitch_occl_by_ptr'], batch['query_time'], progress)
-        msums = metrics_lib.mask_track_metric_sums(out_mask, sup['target_mask'])
+        if per_example:
+            def one(om, tm, of, sp):
+                lr = losses_lib.compute_losses(cfg.loss, om[None], tm[None], of[None],
+                                               sp[None], batch['query_time'], progress)
+                ms = metrics_lib.mask_track_metric_sums(om[None], tm[None])
+                return lr, ms
+            lr_b, msums = jax.vmap(one)(out_mask, sup['target_mask'], sel_occl_fracs,
+                                        sup['snitch_occl_by_ptr'])
+            loss_retval = lr_b
+            sw = lr_b.get('snitch_weights')
+            # vmap stacks the per-example (1, Q, T, H, W) weights -> drop the dummy axis.
+            snitch_weights = None if sw is None else sw[:, 0]
+        else:
+            loss_retval = losses_lib.compute_losses(
+                cfg.loss, out_mask, sup['target_mask'], sel_occl_fracs,
+                sup['snitch_occl_by_ptr'], batch['query_time'], progress)
+            msums = metrics_lib.mask_track_metric_sums(out_mask, sup['target_mask'])
+            snitch_weights = loss_retval.get('snitch_weights')
         return {
             'track': loss_retval['track'], 'occl_mask': loss_retval['occl_mask'],
             'cont_mask': loss_retval['cont_mask'],
@@ -242,7 +263,7 @@ def make_eval_step(cfg: StepConfig, return_outputs: bool = False):
             'output_mask': out_mask, 'output_flags': out_flags,
             'target_mask': sup['target_mask'],
             'seeker_query_mask': sup['seeker_query_mask'],
-            'snitch_weights': loss_retval.get('snitch_weights'),
+            'snitch_weights': snitch_weights,
         }
 
     return eval_step

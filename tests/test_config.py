@@ -63,9 +63,15 @@ def test_verify_args_derivations(tmp_path):
     assert args2.wandb_group == 'train'
 
 
-def test_test_args_forces_batch_one():
+def test_test_args_batch_follows_device_batch():
+    # The reference forces test batch_size to 1 (args.py:276 — a torch-memory artifact).
+    # Here K clips share one device step; --batch_size is overridden by
+    # --test_device_batch, and per-clip protocol equality is tested in test_eval.py.
     args = config_lib.test_args(['--data_path', '/tmp', '--name', '', '--batch_size', '9'])
-    assert args.batch_size == 1  # args.py:276
+    assert args.batch_size == args.test_device_batch == 4
+    args1 = config_lib.test_args(['--data_path', '/tmp', '--name', '',
+                                  '--test_device_batch', '1'])
+    assert args1.batch_size == 1
 
 
 def test_seeker_args_schema():
