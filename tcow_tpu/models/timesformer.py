@@ -433,6 +433,22 @@ def _joint_block(p, xs, cls, cfg: TimeSformerConfig, dpr, rngs, frame_times=None
     return flat[:, 1:].reshape(B, N, T, D), flat[:, 0]
 
 
+def resolve_pp_microbatches(requested: int, stages: int, rows: int) -> int:
+    '''Microbatch count M for the GPipe schedule. The pipeline idles for
+    (S - 1) / (M + S - 1) of its ticks (warm-up + drain bubble), so a default of
+    M = S (33% idle at S=2) leaves throughput on the table whenever the batch allows
+    more microbatches. With `--pp_microbatches 0` (the default) this picks the largest
+    of (4S, 2S, S) that divides the folded row count `rows` — 4S caps the split so the
+    per-microbatch GEMMs stay big enough to fill the MXU (rows/M shrinks as M grows).
+    An explicit request is honored verbatim (divisibility asserted by the caller).'''
+    if requested:
+        return int(requested)
+    for m in (4 * stages, 2 * stages, stages):
+        if m <= rows and rows % m == 0:
+            return m
+    return stages
+
+
 def _gpipe_scan(body, carry, scanned_leaves, cfg: 'TimeSformerConfig'):
     '''GPipe-style pipeline-parallel execution of the stacked-block scan.
 
@@ -459,9 +475,9 @@ def _gpipe_scan(body, carry, scanned_leaves, cfg: 'TimeSformerConfig'):
     from jax.sharding import PartitionSpec as P
 
     S = int(cfg.pp_stages)
-    M = int(cfg.pp_microbatches) or S
     xs0, cls0 = carry
     B = xs0.shape[0]
+    M = resolve_pp_microbatches(cfg.pp_microbatches, S, B)
     assert B % M == 0, f'batch {B} not divisible by pp_microbatches {M}'
     mb = B // M
     pb, dprs, rngs = scanned_leaves

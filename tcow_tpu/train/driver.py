@@ -18,7 +18,7 @@ from typing import Any, Dict
 import numpy as np
 
 from tcow_tpu import config as config_lib
-from tcow_tpu.models import mask_tracker
+from tcow_tpu.models import mask_tracker, timesformer
 from tcow_tpu.models.mask_tracker import SeekerConfig, seeker_config_from_args
 from tcow_tpu.objectives import metrics as metrics_lib
 from tcow_tpu.objectives.losses import LossConfig
@@ -85,11 +85,16 @@ def validate_pp_args(args) -> int:
         if n_steps % pp_stages != 0:
             raise ValueError(f'network_depth {depth} / remat_group {group} must be '
                              f'divisible by pp_stages {pp_stages}')
-        mbs = int(getattr(args, 'pp_microbatches', 0)) or pp_stages
-        if (args.batch_size * args.num_queries) % mbs != 0:
-            raise ValueError(f'batch_size*num_queries '
-                             f'({args.batch_size}*{args.num_queries}) must be divisible '
-                             f'by pp_microbatches {mbs}')
+        # The backbone sees (batch / grad_accum) * num_queries folded rows per microstep;
+        # the dynamic default (timesformer.resolve_pp_microbatches) always divides, so
+        # only an explicit --pp_microbatches can fail here.
+        accum = max(1, int(getattr(args, 'grad_accum', 1)))
+        rows = (args.batch_size // accum) * args.num_queries
+        mbs = timesformer.resolve_pp_microbatches(
+            int(getattr(args, 'pp_microbatches', 0)), pp_stages, rows)
+        if rows % mbs != 0:
+            raise ValueError(f'batch_size/grad_accum*num_queries ({rows}) must be '
+                             f'divisible by pp_microbatches {mbs}')
     return pp_stages
 
 

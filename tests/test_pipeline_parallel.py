@@ -60,6 +60,7 @@ def test_gpipe_forward_and_grads_match_sequential(small_presets):
     for pp_kw in (dict(pp_stages=2, pp_microbatches=2),
                   dict(pp_stages=4, pp_microbatches=2),
                   dict(pp_stages=2, pp_microbatches=4),
+                  dict(pp_stages=2, pp_microbatches=0),  # dynamic default -> M=4 (B=4)
                   dict(pp_stages=2, pp_microbatches=2, remat=True,
                        remat_policy='dots_nb'),
                   dict(pp_stages=2, pp_microbatches=4, remat=True, remat_group=2)):
@@ -76,6 +77,18 @@ def test_gpipe_forward_and_grads_match_sequential(small_presets):
         for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-6)
+
+
+def test_resolve_pp_microbatches_default():
+    '''--pp_microbatches 0 picks the largest of (4S, 2S, S) dividing the folded rows —
+    amortizing the GPipe bubble (S-1)/(M+S-1) — and honors explicit requests verbatim.'''
+    assert tsf.resolve_pp_microbatches(0, 2, 8) == 8    # 4S divides
+    assert tsf.resolve_pp_microbatches(0, 2, 12) == 4   # 4S=8 doesn't, 2S=4 does
+    assert tsf.resolve_pp_microbatches(0, 2, 6) == 2    # 8>6 and 6%4!=0 -> S
+    assert tsf.resolve_pp_microbatches(0, 2, 2) == 2    # only S fits
+    assert tsf.resolve_pp_microbatches(0, 4, 64) == 16  # 4S
+    assert tsf.resolve_pp_microbatches(0, 2, 3) == 2    # nothing divides -> S (asserted
+    assert tsf.resolve_pp_microbatches(3, 2, 8) == 3    # downstream); explicit wins
 
 
 def test_gpipe_droppath_runs_and_decorrelates(small_presets):
