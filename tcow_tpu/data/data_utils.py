@@ -128,13 +128,19 @@ def pad_div(div_array: np.ndarray, axes: Sequence[int], max_size: int
     '''Zero-pads the instance axis (or axes) to max_size for static-shape collation
     (data_utils.py:244-269).'''
     K = -1
-    pad_width = [(0, 0)] * div_array.ndim
+    shape = list(div_array.shape)
+    sl = [slice(None)] * div_array.ndim
     for axis in axes:
         cur = div_array.shape[axis]
         assert K in (-1, cur)
         K = cur
-        pad_width[axis] = (0, max_size - cur)
-    return np.pad(div_array, pad_width, mode='constant'), K
+        shape[axis] = max_size
+        sl[axis] = slice(0, cur)
+    # zeros + slice-assign: one memset + one copy (np.pad's generic _set_pad_area walk
+    # measured ~0.5 s/item on the 36-instance mask stacks — the hot loader path).
+    out = np.zeros(shape, div_array.dtype)
+    out[tuple(sl)] = div_array
+    return out, K
 
 
 def get_usage_modes(available_input_inds, available_query_inds, available_target_inds,

@@ -249,10 +249,13 @@ class KubricQueryDataset:
         K = int(pre['num_valo_instances'])
         frame_inds_clip = augs_params['frame_inds_clip']
 
-        rgb = pre['pv_rgb_u8'].astype(np.float32) / 255.0               # (Tv, H, W, 3)
+        # rgb stays uint8 through the (index-only) frame-select/crop/flip augs; the
+        # pipeline converts to f32/255 only at the first pixel op (jitter/blur/grayscale
+        # or the resize) — identical numerics at 1/4 the copy bytes and ~Tc/Tv fewer
+        # converted pixels (the full loaded video never touches float).
         div_segm = np.unpackbits(pre['pv_div_packed'], axis=-1, count=K)  # (Tv, H, W, K)
         modalities = {
-            'rgb': rgb.transpose(3, 0, 1, 2),                           # (3, Tv, H, W)
+            'rgb': pre['pv_rgb_u8'].transpose(3, 0, 1, 2),              # (3, Tv, H, W) u8
             'segm': pre['pv_segm'][None].astype(np.uint8),              # (1, Tv, H, W)
             'div_segm': div_segm.transpose(3, 0, 1, 2),                 # (K, Tv, H, W)
         }
@@ -286,14 +289,16 @@ class KubricQueryDataset:
                 item_extra['jitter_factors'] = np.array([1, 1, 1, 0, 0], np.float32)
                 item_extra['jitter_order'] = np.arange(4, dtype=np.int32)
 
+        # np.asarray(x, dtype): no copy when the dtype already matches (astype always
+        # copies — ~110 MB/item of pure memcpy on the hot loader path).
         return {
             **item_extra,
-            'rgb': rgb_tf.astype(np.float32),
+            'rgb': np.asarray(rgb_tf, np.float32),
             'segm': segm_tf[0],                       # (Tc, Hf, Wf) int32
-            'div_segm': div_pad.astype(np.uint8),     # (M, Tc, Hf, Wf)
-            'occl_fracs': occl_fracs_pad.astype(np.float32),
-            'occl_cont_dag': dag_pad.astype(np.float32),
-            'desirability': desir_pad.astype(np.float32),
+            'div_segm': np.asarray(div_pad, np.uint8),  # (M, Tc, Hf, Wf)
+            'occl_fracs': np.asarray(occl_fracs_pad, np.float32),
+            'occl_cont_dag': np.asarray(dag_pad, np.float32),
+            'desirability': np.asarray(desir_pad, np.float32),
             'query_time': np.int32(query_time),
             'inst_count': np.int32(K),
             'frame_inds_direct': pre['frame_inds_load'][frame_inds_clip],

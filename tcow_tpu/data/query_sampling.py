@@ -26,9 +26,13 @@ def get_thing_traject_desirability(div_segm: np.ndarray, occl_fracs: np.ndarray,
     K, T, H, W = div_segm.shape
     avg_occl_frac = occl_fracs[:, :, 0].mean(axis=1)                       # (K,)
 
-    delta = (div_segm[:, 1:].astype(np.int16) != div_segm[:, :-1]).astype(np.float32)
+    # Bool compare + f32-accumulated mean: no int16/f32 materializations of the
+    # (K, T-1, H, W) stack (~125 MB/item saved); numpy's pairwise summation over the
+    # same 0.0/1.0 values makes the mean bit-identical to the old float32-array mean.
+    delta = div_segm[:, 1:] != div_segm[:, :-1]
     max_area = div_segm.reshape(K, T, -1).sum(axis=-1).max(axis=1) / (H * W)
-    norm_total_var = delta.reshape(K, -1).mean(axis=1) / (max_area + 1e-6)  # (K,)
+    norm_total_var = (delta.reshape(K, -1).mean(axis=1, dtype=np.float32)
+                      / (max_area + 1e-6))                                 # (K,)
 
     significance_hard = np.minimum(occl_fracs[:, :, 1].mean(axis=1) * 10000.0, 1.0) - 1.0
     init_vis_size_hard = np.minimum(occl_fracs[:, query_time, 1] * 2500.0, 1.0) - 1.0
