@@ -55,7 +55,7 @@ class SeekerConfig:
     #   tables (time-calibrated rope): strided/subsampled clips (augs stride doubling,
     #   plugin usage modes) carry their real temporal spacing. Stored in seeker_args so
     #   eval reconstructs the convention from the checkpoint. Requires temporal_rope.
-    attention_bwd: str = 'res'  # 'res' | 'kernel_qkv' | 'kernel_x' (ops/pallas_attention.py)
+    attention_bwd: str = 'res'  # 'res'|'kernel_qkv'|'kernel_x'|'kernel_x_wg' (ops/pallas_attention.py)
     batch_axis: Any = None  # mesh axis names for DP / sequence / tensor parallelism
     seq_axis: Any = None    # (see timesformer.TimeSformerConfig; model_axis shards block
     model_axis: Any = None  # weights + attention heads, parallel/mesh.py tp_pspec)

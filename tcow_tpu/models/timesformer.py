@@ -62,7 +62,7 @@ class TimeSformerConfig:
     remat_group: int = 1  # blocks per checkpoint region: G>1 halves/quarters the recompute
     #   overhead (only group boundaries are saved) at G x the per-region activation memory
     use_pallas_attention: bool = False  # fused VMEM-resident attention kernels (TPU only)
-    attention_bwd: str = 'res'  # 'res' | 'kernel_qkv' | 'kernel_x' (pallas_attention.py)
+    attention_bwd: str = 'res'  # 'res' | 'kernel_qkv' | 'kernel_x' | 'kernel_x_wg' (pallas_attention.py)
     temporal_rope: bool = False  # rotary time encoding on temporal attention (relative
     #   offsets only -> windowed streaming extrapolates past the trained horizon without
     #   the time-embedding clamp approximation; needs training with the flag on). NEW

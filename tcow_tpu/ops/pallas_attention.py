@@ -188,6 +188,10 @@ def fused_attention(x, qkv_w, qkv_b, proj_w, proj_b, pos, num_heads: int,
       'kernel_x'   — forward exports nothing; the backward kernel recomputes qkv from x
                      in VMEM too. Zero attention residuals (x is the only saved value);
                      costs one extra qkv GEMM per call in the backward.
+      'kernel_x_wg'— 'kernel_x' plus in-kernel weight-gradient accumulation: weight/bias
+                     grads build up in f32 VMEM accumulator outputs across the grid and
+                     dx is computed in-kernel, so the backward writes only (B, S, D) to
+                     HBM instead of (B, S, 4D) + XLA-side re-reads.
     Under per-block remat, pair the kernel modes with the 'dots_nb_out'(+'_qkv') policies
     in timesformer.py so the forward kernel is never re-run in the backward pass.'''
     return _fused_attention_fwd_impl(x, qkv_w, qkv_b, proj_w, proj_b, num_heads,
@@ -340,7 +344,7 @@ def _fused_attention_fwd_impl(x, qkv_w, qkv_b, proj_w, proj_b, num_heads,
 def _fwd(x, qkv_w, qkv_b, proj_w, proj_b, pos, num_heads, causal_attention, bwd_mode,
          rope):
     from jax.ad_checkpoint import checkpoint_name
-    if bwd_mode == 'kernel_x':
+    if bwd_mode in ('kernel_x', 'kernel_x_wg'):
         out = _fused_attention_fwd_impl(x, qkv_w, qkv_b, proj_w, proj_b, num_heads,
                                         causal_attention, want_residuals=False,
                                         rope=rope, pos=pos)[0]
@@ -372,11 +376,12 @@ def _pos_grad(pos):
 
 
 def _bwd(num_heads, causal_attention, bwd_mode, rope, residuals, g):
-    if bwd_mode == 'kernel_x':
+    if bwd_mode in ('kernel_x', 'kernel_x_wg'):
         x, qkv_w, qkv_b, proj_w, pos = residuals
         grads = _fused_attention_bwd_impl(x, g, qkv_w, qkv_b, proj_w, None,
                                           num_heads, causal_attention, rope=rope,
-                                          pos=pos)
+                                          pos=pos,
+                                          inkernel_wgrads=bwd_mode == 'kernel_x_wg')
     elif bwd_mode == 'kernel_qkv':
         x, qkv, qkv_w, qkv_b, proj_w, pos = residuals
         grads = _fused_attention_bwd_impl(x, g, qkv_w, qkv_b, proj_w, qkv,
@@ -532,18 +537,27 @@ def fused_attention_rows(x, qkv_w, qkv_b, proj_w, proj_b, pos, num_heads: int,
 # ---------------------------------------------------------------------------
 # Fully in-kernel backward: recompute probs/attn in VMEM (optionally qkv too) and emit
 # dqkv + attn; no probs/attn residual ever touches HBM. Weight/bias/input gradients are
-# ordinary XLA dots on those outputs — deliberately kept OUT of the kernel (fusing f32
-# weight accumulators into the scan body hit scoped-vmem OOM, see NEXT.md).
+# ordinary XLA dots on those outputs — kept OUT of the kernel by default (fusing f32
+# weight accumulators into the XLA scan body hit scoped-vmem OOM, see NEXT.md).
+# `wgrads=True` retries that differently: the weight/bias gradients accumulate in f32
+# VMEM accumulator OUTPUTS (constant index maps — the blocks stay resident across the
+# sequential grid) and the kernel emits dx directly, so the (B, S, 4D) dqkv/attn
+# round-trip through HBM disappears entirely.
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(x_ref, g_ref, qkv_w_ref, qkv_b_ref, proj_w_ref, *rest,
                 num_heads: int, causal_attention: int, seq_len: int, pack: int,
-                has_qkv: bool, has_pos: bool = False, rope: bool = False):
+                has_qkv: bool, has_pos: bool = False, rope: bool = False,
+                wgrads: bool = False):
     rest = list(rest)
     cos_ref = rest.pop(0) if has_pos else None
     sin_ref = rest.pop(0) if has_pos else None
     qkv_ref = rest.pop(0) if has_qkv else None
-    dqkv_ref, attn_ref = rest
+    if wgrads:
+        dx_ref, dqkvw_ref, dqkvb_ref, dprojw_ref, dprojb_ref = rest
+        dqkv_ref = attn_ref = None
+    else:
+        dqkv_ref, attn_ref = rest
     G, S, D = x_ref.shape
     dh = D // num_heads
     scale = dh ** -0.5
@@ -615,20 +629,54 @@ def _bwd_kernel(x_ref, g_ref, qkv_w_ref, qkv_b_ref, proj_w_ref, *rest,
         dq_parts.append(dq_h)
         dk_parts.append(dk_h)
 
-    attn_ref[:] = jnp.concatenate(attn_parts, axis=-1).reshape(G, S, D)
-    dqkv_ref[:] = jnp.concatenate(dq_parts + dk_parts + dv_parts,
-                                  axis=-1).reshape(G, S, 3 * D)
+    attn2 = jnp.concatenate(attn_parts, axis=-1).reshape(G * S, D)
+    dqkv2 = jnp.concatenate(dq_parts + dk_parts + dv_parts,
+                            axis=-1).reshape(G * S, 3 * D)
+    if not wgrads:
+        attn_ref[:] = attn2.reshape(G, S, D)
+        dqkv_ref[:] = dqkv2.reshape(G, S, 3 * D)
+        return
+
+    # dx for this group + f32 weight/bias gradients accumulated across the grid. Padded
+    # batch rows contribute exactly zero (g = 0 there, and dqkv = 0 since dattn = 0), so
+    # the accumulators equal the XLA-side dots over the padded arrays bit-for-bit in math.
+    dx = jax.lax.dot_general(dqkv2, qkv_w_ref[:].astype(cdt), (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dx_ref[:] = dx.astype(cdt).reshape(G, S, D)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dqkvw_ref[:] = jnp.zeros_like(dqkvw_ref)
+        dqkvb_ref[:] = jnp.zeros_like(dqkvb_ref)
+        dprojw_ref[:] = jnp.zeros_like(dprojw_ref)
+        dprojb_ref[:] = jnp.zeros_like(dprojb_ref)
+
+    gf = g  # (G*S, D), compute dtype
+    dqkvw_ref[:] += jax.lax.dot_general(x, dqkv2, (((0,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+    dqkvb_ref[:] += jnp.sum(dqkv2.astype(jnp.float32), axis=0)
+    dprojw_ref[:] += jax.lax.dot_general(attn2, gf, (((0,), (0,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+    dprojb_ref[:] += jnp.sum(gf.astype(jnp.float32), axis=0)
 
 
 def _fused_attention_bwd_impl(x, g, qkv_w, qkv_b, proj_w, qkv, num_heads,
                               causal_attention, interpret=None,
-                              rope: bool = False, pos=None):
+                              rope: bool = False, pos=None,
+                              inkernel_wgrads: bool = False):
     '''Runs the in-kernel backward; qkv=None recomputes qkv from x inside the kernel.
-    Returns (dx, dqkv_w, dqkv_b, dproj_w, dproj_b).'''
+    Returns (dx, dqkv_w, dqkv_b, dproj_w, dproj_b).
+
+    inkernel_wgrads=True ('kernel_x_wg' mode, qkv=None only) keeps the weight/bias
+    gradients inside the kernel as f32 VMEM accumulators revisited across the grid and
+    emits dx directly — the (B, S, 4D) dqkv/attn HBM round-trip of the default mode is
+    eliminated at the cost of ~16*D^2 bytes of resident accumulator VMEM.'''
     interpret = _interp(interpret)
     B, S, D, S_pad, pack, G, B_pad = _geometry(x, num_heads)
     SP = S_pad * pack
     vma = _vma(x, g, qkv_w, qkv_b, proj_w, qkv, pos)
+    assert not (inkernel_wgrads and qkv is not None), \
+        'in-kernel weight grads require the qkv-recompute (kernel_x) path'
 
     def pad3(a):
         if a.shape[0] != B_pad or a.shape[1] != S_pad:
@@ -655,6 +703,46 @@ def _fused_attention_bwd_impl(x, g, qkv_w, qkv_b, proj_w, qkv, num_heads,
         in_specs.append(pl.BlockSpec((G, S_pad, 3 * D), lambda i: (i, 0, 0),
                                      memory_space=pltpu.VMEM))
 
+    itemsize = np.dtype(x.dtype).itemsize
+    block_bytes = (G * S_pad * D * itemsize * 12                    # x/g/attn/dattn + qkv/dqkv
+                   + (G // pack) * SP * SP * (12 + 2 * itemsize)    # probs f32 + dp f32 + dlog
+                   + 6 * D * D * itemsize)                          # resident weights
+    kernel = functools.partial(_bwd_kernel, num_heads=num_heads,
+                               causal_attention=causal_attention, seq_len=S, pack=pack,
+                               has_qkv=qkv is not None, has_pos=pos is not None,
+                               rope=rope, wgrads=inkernel_wgrads)
+    if inkernel_wgrads:
+        # dx per grid step + f32 accumulator outputs with constant index maps: the
+        # accumulator blocks are revisited every step, so Mosaic keeps them resident in
+        # VMEM and only flushes to HBM once at the end of the (sequential) grid.
+        out_shape = (
+            jax.ShapeDtypeStruct((B_pad, S_pad, D), x.dtype, vma=vma),      # dx
+            jax.ShapeDtypeStruct((D, 3 * D), jnp.float32, vma=vma),         # dqkv_w
+            jax.ShapeDtypeStruct((3 * D,), jnp.float32, vma=vma),           # dqkv_b
+            jax.ShapeDtypeStruct((D, D), jnp.float32, vma=vma),             # dproj_w
+            jax.ShapeDtypeStruct((D,), jnp.float32, vma=vma),               # dproj_b
+        )
+        out_specs = (
+            pl.BlockSpec((G, S_pad, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, 3 * D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * D,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D,), lambda i: (0,), memory_space=pltpu.VMEM),
+        )
+        acc_bytes = 16 * D * D + 16 * D  # f32 accumulators resident across the grid
+        vmem_limit = int(min(max((block_bytes + acc_bytes) * 1.5, 48 * 1024 * 1024),
+                             124 * 1024 * 1024))
+        dx, dqkv_w, dqkv_b, dproj_w, dproj_b = pl.pallas_call(
+            kernel,
+            out_shape=out_shape,
+            grid=(B_pad // G,),
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            interpret=interpret,
+        )(*inputs)
+        return dx[:B, :S], dqkv_w, dqkv_b, dproj_w, dproj_b
+
     out_shape = (
         jax.ShapeDtypeStruct((B_pad, S_pad, 3 * D), x.dtype, vma=vma),  # dqkv
         jax.ShapeDtypeStruct((B_pad, S_pad, D), x.dtype, vma=vma),  # attn (pre-projection)
@@ -663,15 +751,7 @@ def _fused_attention_bwd_impl(x, g, qkv_w, qkv_b, proj_w, qkv, num_heads,
         pl.BlockSpec((G, S_pad, 3 * D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((G, S_pad, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
     )
-    itemsize = np.dtype(x.dtype).itemsize
-    block_bytes = (G * S_pad * D * itemsize * 12                    # x/g/attn/dattn + qkv/dqkv
-                   + (G // pack) * SP * SP * (12 + 2 * itemsize)    # probs f32 + dp f32 + dlog
-                   + 6 * D * D * itemsize)                          # resident weights
     vmem_limit = int(min(max(block_bytes * 1.5, 48 * 1024 * 1024), 124 * 1024 * 1024))
-    kernel = functools.partial(_bwd_kernel, num_heads=num_heads,
-                               causal_attention=causal_attention, seq_len=S, pack=pack,
-                               has_qkv=qkv is not None, has_pos=pos is not None,
-                               rope=rope)
     dqkv, attn = pl.pallas_call(
         kernel,
         out_shape=out_shape,

@@ -65,7 +65,7 @@ def test_custom_vjp_gradients_match_reference():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5)
 
 
-@pytest.mark.parametrize('mode', ['kernel_qkv', 'kernel_x'])
+@pytest.mark.parametrize('mode', ['kernel_qkv', 'kernel_x', 'kernel_x_wg'])
 @pytest.mark.parametrize('ca', [0, 1])
 def test_in_kernel_backward_matches_reference(mode, ca):
     '''The fully in-kernel pallas backward (probs/attn recomputed in VMEM, weight grads
@@ -98,7 +98,7 @@ def test_in_kernel_backward_matches_reference(mode, ca):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
 
 
-@pytest.mark.parametrize('mode', ['kernel_qkv', 'kernel_x'])
+@pytest.mark.parametrize('mode', ['kernel_qkv', 'kernel_x', 'kernel_x_wg'])
 def test_in_kernel_backward_packed_geometry(mode):
     '''Short sequences (S=8 with D=16 -> pack > 1) exercise the packed block-diagonal
     score layout in the backward kernel.'''

@@ -72,7 +72,7 @@ def test_xla_model_attention_rope_matches_reference():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5)
 
 
-@pytest.mark.parametrize('mode', ['res', 'kernel_qkv', 'kernel_x'])
+@pytest.mark.parametrize('mode', ['res', 'kernel_qkv', 'kernel_x', 'kernel_x_wg'])
 def test_rope_gradients_match_reference(mode):
     '''All three custom backwards must invert the rotation correctly (dq = R^T dq_rot).
     Padded shape (S=13 -> 16) exercises the padding rows too.'''
@@ -249,7 +249,7 @@ def test_fused_rope_positions_shift_invariance():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4)
 
 
-@pytest.mark.parametrize('mode', ['res', 'kernel_qkv', 'kernel_x'])
+@pytest.mark.parametrize('mode', ['res', 'kernel_qkv', 'kernel_x', 'kernel_x_wg'])
 def test_rope_positions_gradients_match_reference(mode):
     '''All three custom backwards with per-sequence positions (padded S=13 -> 16).'''
     from test_pallas_attention import make_inputs

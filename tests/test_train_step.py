@@ -275,13 +275,18 @@ def test_tensor_parallel_matches_single_device(small_model):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)
 
 
-@pytest.mark.parametrize('mesh_kw', [{'seq': 4}, {'model': 4}, {'seq': 2, 'model': 2}])
-def test_pallas_kernel_path_on_sharded_mesh(small_model, mesh_kw):
+@pytest.mark.parametrize('mesh_kw, bwd', [({'seq': 4}, 'kernel_x'),
+                                          ({'model': 4}, 'kernel_x'),
+                                          ({'seq': 2, 'model': 2}, 'kernel_x'),
+                                          ({'seq': 2, 'model': 2}, 'kernel_x_wg')])
+def test_pallas_kernel_path_on_sharded_mesh(small_model, mesh_kw, bwd):
     '''The FULL train step with the fused Pallas attention (in-kernel 'kernel_x' backward
     + 'dots_nb_out' remat — the measured-fastest single-chip config) must reproduce the
     single-device XLA-attention step on sharded meshes: the kernel runs under the
     fused_attention_rows shard_map wrap (interpret mode on CPU). Covers (data x seq),
-    (data x model), and the 3-D mesh — VERDICT round 2, task 1.'''
+    (data x model), and the 3-D mesh — VERDICT round 2, task 1 — plus the in-kernel
+    weight-grad accumulation mode ('kernel_x_wg': per-shard f32 VMEM accumulators whose
+    outputs ride the shard_map transpose psum).'''
     import dataclasses
     from tcow_tpu.ops import pallas_attention as pa
     cfg, tx, state = make_cfg_and_state()
@@ -296,7 +301,7 @@ def test_pallas_kernel_path_on_sharded_mesh(small_model, mesh_kw):
         cfg.seeker, batch_axis=mesh_lib.DATA_AXIS,
         seq_axis=mesh_lib.SEQ_AXIS if mesh_kw.get('seq', 1) > 1 else None,
         model_axis=mesh_lib.MODEL_AXIS if mesh_kw.get('model', 1) > 1 else None,
-        use_pallas_attention=True, attention_bwd='kernel_x',
+        use_pallas_attention=True, attention_bwd=bwd,
         remat=True, remat_policy='dots_nb_out')
     cfg_k = dataclasses.replace(cfg, seeker=seeker_k)
     step_k = jax.jit(step_lib.make_train_step(cfg_k, tx))

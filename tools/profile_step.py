@@ -41,20 +41,26 @@ def sync_time(fn, n=8, warmup=2):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument('--what', default='ablate')
+    p.add_argument('--attention_bwd', default='kernel_x',
+                   help="'res'|'kernel_qkv'|'kernel_x'|'kernel_x_wg' A/B on the real chip")
+    p.add_argument('--batch', type=int, default=B)
     p.add_argument('--rope', action='store_true', help='temporal_rope variant')
     p.add_argument('--rope_coords', action='store_true',
                    help='time-calibrated rope variant (implies --rope): per-sequence '
                         'frame_times drive the rotary tables, exercising the XLA-side '
                         'table precompute + extra kernel inputs')
     args = p.parse_args()
+    global B
+    B = args.batch
 
     # Match bench.py's flagship configuration (fused pallas attention + in-kernel backward)
     # so the ablation attributes the same program the recorded numbers come from.
     seeker = SeekerConfig(num_total_frames=T, frame_height=H, frame_width=W,
                           causal_attention=1, drop_path_rate=0.1, network_depth=12,
                           compute_dtype=jnp.bfloat16, remat=True,
-                          remat_policy='dots_nb_out', use_pallas_attention=True,
-                          attention_bwd='kernel_x',
+                          remat_policy='dots_nb_out',
+                          use_pallas_attention=args.attention_bwd != 'res',
+                          attention_bwd=args.attention_bwd,
                           temporal_rope=args.rope or args.rope_coords,
                           rope_time_coords=args.rope_coords)
     params = mask_tracker.init_params(jax.random.key(0), seeker)
