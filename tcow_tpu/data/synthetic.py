@@ -20,12 +20,14 @@ from typing import Dict
 import numpy as np
 
 
-def _moving_rects(rng: np.random.RandomState, T: int, H: int, W: int, K: int):
+def _moving_rects(rng: np.random.RandomState, T: int, H: int, W: int, K: int,
+                  sizes: np.ndarray = None):
     '''Returns amodal masks (K, T, H, W) uint8 and per-frame depth order (far -> near is
     ascending instance index for simplicity), plus 3-D-ish positions for metadata.'''
     div = np.zeros((K, T, H, W), np.uint8)
     centers = np.zeros((K, T, 2), np.float32)
-    sizes = rng.randint(max(4, H // 8), max(6, H // 3), size=(K, 2))
+    if sizes is None:
+        sizes = rng.randint(max(4, H // 8), max(6, H // 3), size=(K, 2))
     pos0 = np.stack([rng.uniform(0, H, K), rng.uniform(0, W, K)], axis=1)
     vel = rng.uniform(-2.5, 2.5, size=(K, 2))
     for t in range(T):
@@ -42,12 +44,78 @@ def _moving_rects(rng: np.random.RandomState, T: int, H: int, W: int, K: int):
     return div, centers
 
 
+def _apply_rich_events(rng: np.random.RandomState, T: int, H: int, W: int, K: int,
+                       div: np.ndarray, centers: np.ndarray, sizes: np.ndarray):
+    '''Scripted occlusion + containment episodes on top of the random rect motion.
+
+    Instance 0 is the "snitch" (small); instance K-2 a large occluder, K-1 a large
+    container. With per-episode probability the snitch snaps to the host's center for a
+    random frame span: behind the occluder it is fully occluded (mask-subset, painter
+    order puts K-2 in front), inside the container its metadata position and 3-D box
+    nest inside the container's enlarged box, so get_thing_occl_cont_dag's OBB
+    containment (data/geometry.py, mirroring /root/reference/utils/geometry.py) reports
+    c[0, K-1] = 1.0 >= outer_cont_thres and the supervision builder emits channel-2
+    container targets + 'contained' flags — the reference's defining event type
+    (/root/reference/data/data_utils.py:458-490). The container keeps moving while the
+    snitch rides inside: tracking-through-containment, the tcow headline behavior.
+
+    Returns (div, centers, z_pos (K, T), bbox_half (K,)) — z/bbox feed the metadata.
+    '''
+    assert K >= 4, 'rich events need >= 4 instances (snitch + occluder + container + 1)'
+    z_pos = np.tile(np.arange(K, dtype=np.float32)[:, None], (1, T))   # default z = k
+    bbox_half = np.full(K, 0.1, np.float32)
+    occluder, container = K - 2, K - 1
+    bbox_half[container] = 0.5
+    sh, sw = sizes[0]
+
+    def stamp(t, cy, cx):
+        div[0, t] = 0
+        y0, y1 = max(0, int(cy) - sh // 2), min(H, int(cy) + sh // 2 + 1)
+        x0, x1 = max(0, int(cx) - sw // 2), min(W, int(cx) + sw // 2 + 1)
+        div[0, t, y0:y1, x0:x1] = 1
+        centers[0, t] = (int(cy), int(cx))
+
+    # Random non-overlapping spans: [occl episode][gap][containment episode], each
+    # present with high probability and bracketed by visible frames at both clip ends.
+    spans = []
+    lo = max(1, int(T * 0.1))
+    hi = max(lo + 2, int(T * 0.9))
+    mid = rng.randint(lo + 1, hi - 1) if hi - lo > 2 else (lo + hi) // 2
+    if rng.rand() < 0.85 and mid - lo >= 2:
+        a = rng.randint(lo, mid - 1)
+        spans.append(('occl', a, rng.randint(a + 1, mid)))
+    if rng.rand() < 0.85 and hi - mid >= 2:
+        a = rng.randint(mid, hi - 1)
+        spans.append(('cont', a, rng.randint(a + 1, hi)))
+    for kind, t0, t1 in spans:
+        host = occluder if kind == 'occl' else container
+        for t in range(t0, t1 + 1):
+            stamp(t, *centers[host, t])
+            if kind == 'cont':
+                # Nest the 3-D box inside the container's; stay just behind it in z so
+                # the metadata camera order matches the ascending-k painter order.
+                z_pos[0, t] = z_pos[container, t] - 0.2
+    return div, centers, z_pos, bbox_half
+
+
 def make_synthetic_scene_arrays(seed: int, T: int = 8, H: int = 64, W: int = 64,
-                                K: int = 4) -> Dict[str, np.ndarray]:
+                                K: int = 4, rich_events: bool = False
+                                ) -> Dict[str, np.ndarray]:
     '''Builds consistent (rgb, segm, div_segm) arrays: visible segm is the front-most
-    instance at each pixel (higher index = closer to camera).'''
+    instance at each pixel (higher index = closer to camera). rich_events=True adds
+    scripted full-occlusion and containment episodes (see _apply_rich_events).'''
     rng = np.random.RandomState(seed)
-    div, centers = _moving_rects(rng, T, H, W, K)
+    sizes = None
+    if rich_events:
+        sizes = rng.randint(max(4, H // 8), max(6, H // 3), size=(K, 2))
+        sizes[0] = (max(4, H // 10), max(4, W // 10))                  # small snitch
+        sizes[K - 2] = (max(8, H // 3), max(8, W // 3))                # large occluder
+        sizes[K - 1] = (max(8, H // 3), max(8, W // 3))                # large container
+    div, centers = _moving_rects(rng, T, H, W, K, sizes=sizes)
+    z_pos = bbox_half = None
+    if rich_events:
+        div, centers, z_pos, bbox_half = _apply_rich_events(rng, T, H, W, K, div,
+                                                            centers, sizes)
     segm = np.zeros((T, H, W), np.int32)
     for k in range(K):  # ascending: later (nearer) instances overwrite
         segm[div[k] == 1] = k + 1
@@ -55,7 +123,11 @@ def make_synthetic_scene_arrays(seed: int, T: int = 8, H: int = 64, W: int = 64,
     rgb = colors[segm]  # (T, H, W, 3)
     rgb += rng.normal(0, 0.02, rgb.shape).astype(np.float32)
     rgb = np.clip(rgb, 0.0, 1.0)
-    return {'rgb': rgb, 'segm': segm, 'div_segm': div, 'centers': centers}
+    out = {'rgb': rgb, 'segm': segm, 'div_segm': div, 'centers': centers}
+    if rich_events:
+        out['z_pos'] = z_pos          # (K, T) metadata z per frame
+        out['bbox_half'] = bbox_half  # (K,) metadata 3-D box half-extent
+    return out
 
 
 def synthetic_device_batch(seed: int, B: int = 2, Q: int = 2, T: int = 8, H: int = 64,
@@ -97,7 +169,8 @@ def synthetic_device_batch(seed: int, B: int = 2, Q: int = 2, T: int = 8, H: int
 # ---------------------------------------------------------------------------
 
 def write_synthetic_kubric_scene(scene_dp: str, seed: int, T: int = 12, H: int = 64,
-                                 W: int = 96, K: int = 4) -> None:
+                                 W: int = 96, K: int = 4,
+                                 rich_events: bool = False) -> None:
     '''Writes one scene directory in the reference export layout (kubric_sim.py:702-714):
       <scene>/frames/rgba_00000.png ...
       <scene>/frames/segmentation_00000.png (hue-palette instance colors)
@@ -109,7 +182,7 @@ def write_synthetic_kubric_scene(scene_dp: str, seed: int, T: int = 12, H: int =
     name = os.path.basename(scene_dp.rstrip('/'))
     frames_dp = os.path.join(scene_dp, 'frames')
     os.makedirs(frames_dp, exist_ok=True)
-    scene = make_synthetic_scene_arrays(seed, T, H, W, K)
+    scene = make_synthetic_scene_arrays(seed, T, H, W, K, rich_events=rich_events)
     rng = np.random.RandomState(seed + 1)
 
     for t in range(T):
@@ -128,14 +201,17 @@ def write_synthetic_kubric_scene(scene_dp: str, seed: int, T: int = 12, H: int =
     # Metadata: camera at z=10 looking down; depth z = k so larger k is closer to the
     # camera, consistent with the painter's order used for the visible segmentation.
     instances = []
+    z_pos = scene.get('z_pos')
+    bbox_half = scene.get('bbox_half')
     for k in range(K):
         positions = []
         bboxes_3d = []
         for t in range(T):
             cy, cx = scene['centers'][k, t]
-            pos = [float(cx) / W, float(cy) / H, float(k)]
+            z = float(z_pos[k, t]) if z_pos is not None else float(k)
+            pos = [float(cx) / W, float(cy) / H, z]
             positions.append(pos)
-            s = 0.1
+            s = float(bbox_half[k]) if bbox_half is not None else 0.1
             corners = [[pos[0] + dx, pos[1] + dy, pos[2] + dz]
                        for dx in (-s, s) for dy in (-s, s) for dz in (-s, s)]
             bboxes_3d.append(corners)
@@ -176,7 +252,11 @@ if __name__ == '__main__':
     # (measured ~60 s/retry at 480x360x40). K=6 keeps Q=3 robust; check with
     # tools/validate_dataset.py.
     parser.add_argument('--objects', type=int, default=6)
+    parser.add_argument('--rich', action='store_true',
+                        help='scripted full-occlusion + containment episodes so the '
+                             'occl/cont supervision channels and the during_occl/'
+                             'during_cont metric families are populated')
     a = parser.parse_args()
     write_synthetic_kubric_dataset(a.out, a.num_scenes, a.seed, T=a.frames, H=a.height,
-                                   W=a.width, K=a.objects)
+                                   W=a.width, K=a.objects, rich_events=a.rich)
     print(f'Wrote {a.num_scenes} synthetic scenes to {a.out}')
