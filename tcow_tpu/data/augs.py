@@ -30,23 +30,29 @@ def _rgb_to_gray(img: np.ndarray) -> np.ndarray:
 
 
 def _blend(a, b, factor):
-    return np.clip(a * factor + b * (1.0 - factor), 0.0, 1.0)
+    '''a*factor + b*(1-factor), clipped to [0,1], IN PLACE on a (same per-element values
+    and op order as the out-of-place expression, so results are bit-identical — in-place
+    saves two (T,3,H,W) temporaries per call on the hot loader path).'''
+    a *= factor
+    a += b * (1.0 - factor)
+    np.clip(a, 0.0, 1.0, out=a)
+    return a
 
 
 def _shift_hue(frames_tchw: np.ndarray, fh: float) -> np.ndarray:
     '''Exact hue rotation via cv2 HSV (C++; matplotlib's converter is ~20x slower on
-    video-sized arrays).'''
+    video-sized arrays). All T frames are stacked into one (T*H, W, 3) image so the
+    round trip is 2 cvtColor calls total instead of 2 per frame (cvtColor is
+    per-pixel, so the stacking changes nothing numerically).'''
     try:
         import cv2
-        T = frames_tchw.shape[0]
-        out = np.empty_like(frames_tchw, np.float32)
-        for t in range(T):
-            hwc = np.ascontiguousarray(
-                np.clip(frames_tchw[t].transpose(1, 2, 0), 0, 1), np.float32)
-            hsv = cv2.cvtColor(hwc, cv2.COLOR_RGB2HSV)
-            hsv[..., 0] = (hsv[..., 0] + fh * 360.0) % 360.0
-            out[t] = cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB).transpose(2, 0, 1)
-        return out
+        T, C, H, W = frames_tchw.shape
+        hwc = np.clip(frames_tchw.transpose(0, 2, 3, 1), 0, 1).astype(
+            np.float32).reshape(T * H, W, C)
+        hsv = cv2.cvtColor(hwc, cv2.COLOR_RGB2HSV)
+        hsv[..., 0] = (hsv[..., 0] + fh * 360.0) % 360.0
+        return cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB).reshape(
+            T, H, W, C).transpose(0, 3, 1, 2)
     except ImportError:
         import matplotlib.colors
         hwc = frames_tchw.transpose(0, 2, 3, 1)
@@ -79,7 +85,8 @@ def color_jitter(frames: np.ndarray, rng: np.random.Generator, brightness=0.2, c
     out = frames.astype(np.float32)
     for op in factors['order']:
         if op == 0:
-            out = np.clip(out * fb, 0.0, 1.0)
+            out *= fb
+            np.clip(out, 0.0, 1.0, out=out)
         elif op == 1:
             mean = _rgb_to_gray(out).mean(axis=(-3, -2, -1), keepdims=True)
             out = _blend(out, mean, fc)
@@ -108,9 +115,22 @@ def resize_frames(frames: np.ndarray, height: int, width: int, nearest: bool) ->
     import cv2
     C, T, H, W = frames.shape
     if (H, W) == (height, width):
-        return frames
-    interp = cv2.INTER_NEAREST if nearest else (
-        cv2.INTER_AREA if height < H else cv2.INTER_LINEAR)
+        # Contiguous copy so no caller ever receives a view pinning the full-res buffer.
+        return np.ascontiguousarray(frames)
+    if nearest:
+        # cv2.INTER_NEAREST maps dst (i, j) -> src floor(i / (height/H)) — note cv2
+        # computes the scale as the double 1/(dst/src), NOT src/dst, which differs by
+        # one ulp exactly at integer boundaries (e.g. 368->320 at j=100); replicating
+        # that expression makes this gather bit-identical (pinned by tests incl.
+        # upsampling). One whole-array gather replaces ceil(C/4)*T cv2 calls +
+        # per-slice contiguous copies on the 36-channel mask stacks, and accepts
+        # non-contiguous input.
+        yi = np.minimum(np.floor(np.arange(height) * (1.0 / (height / H))
+                                 ).astype(np.int64), H - 1)
+        xi = np.minimum(np.floor(np.arange(width) * (1.0 / (width / W))
+                                 ).astype(np.int64), W - 1)
+        return frames[:, :, yi[:, None], xi]
+    interp = cv2.INTER_AREA if height < H else cv2.INTER_LINEAR
     out = np.empty((C, T, height, width), frames.dtype)
     for t in range(T):
         for c0 in range(0, C, 4):
@@ -289,9 +309,14 @@ class AugmentationPipeline:
                 x = x[..., int(y1 * Hc):int(y2 * Hc), int(x1 * Wc):int(x2 * Wc)]
 
             nearest = ('segm' in modality or 'mask' in modality)
-            x = np.ascontiguousarray(x.transpose(1, 0, 2, 3))
+            # (T,C,H,W) -> (C,T,H,W) as a view: the nearest path gathers from strided
+            # input directly, the smooth (cv2) path copies per (frame, 4-chan) slice
+            # inside resize_frames anyway — an up-front full-array contiguous copy here
+            # was pure overhead either way.
+            x = x.transpose(1, 0, 2, 3)
             if 'rgb' in modality and x.dtype == np.uint8:
-                x = x.astype(np.float32) / 255.0  # same pixels as converting up front
+                x = x.astype(np.float32)  # same pixels as converting up front
+                x /= 255.0
             x = resize_frames(x, self.frame_height, self.frame_width, nearest)
             out[modality] = x
         return out

@@ -101,6 +101,31 @@ def test_apply_flip_and_nearest_resize():
     assert set(np.unique(out['segm'])) <= {0, 7}
 
 
+def test_nearest_resize_matches_cv2_bitwise():
+    '''The gather-based nearest resize must reproduce cv2.INTER_NEAREST exactly,
+    including the one-ulp boundary behavior of cv2's 1/(dst/src) scale expression
+    (e.g. 368->320 flips the source column at j=100 vs the naive src/dst mapping).'''
+    import cv2
+    from tcow_tpu.data.augs import resize_frames
+    rng = np.random.default_rng(0)
+    for (H, W, h, w) in [(360, 480, 240, 320), (304, 368, 240, 320),
+                         (123, 77, 240, 320), (288, 384, 192, 256),
+                         (300, 400, 222, 333)]:
+        frames = rng.integers(0, 255, (5, 3, H, W), dtype=np.uint8)
+        got = resize_frames(frames, h, w, nearest=True)
+        for c in range(5):
+            for t in range(3):
+                ref = cv2.resize(frames[c, t], (w, h),
+                                 interpolation=cv2.INTER_NEAREST)
+                np.testing.assert_array_equal(got[c, t], ref, err_msg=str((H, W, h, w)))
+    # Non-contiguous (flipped/cropped view) input takes the same gather path.
+    view = frames[:, :, ::-1, 3:-3][:, :, 5:]
+    got = resize_frames(view, 240, 320, nearest=True)
+    np.testing.assert_array_equal(
+        got[0, 0], cv2.resize(np.ascontiguousarray(view[0, 0]), (320, 240),
+                              interpolation=cv2.INTER_NEAREST))
+
+
 def test_grayscale_aug_preserves_shape():
     '''Regression: the p=0.05 rgb_grayscale branch used a bogus transpose that exploded the
     channel axis ((T,1,H,W)->(T,W,1,H) before the repeat), crashing any item that drew it.'''
