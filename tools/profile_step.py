@@ -39,6 +39,7 @@ def sync_time(fn, n=8, warmup=2):
 
 
 def main():
+    global B
     p = argparse.ArgumentParser()
     p.add_argument('--what', default='ablate')
     p.add_argument('--attention_bwd', default='kernel_x',
@@ -50,7 +51,6 @@ def main():
                         'frame_times drive the rotary tables, exercising the XLA-side '
                         'table precompute + extra kernel inputs')
     args = p.parse_args()
-    global B
     B = args.batch
 
     # Match bench.py's flagship configuration (fused pallas attention + in-kernel backward)
