@@ -90,6 +90,11 @@ def shared_args(parser: argparse.ArgumentParser):
     parser.add_argument('--multihost', default=False, type=_str2bool,
                         help='Initialize jax.distributed for multi-host (DCN) execution; '
                              'coordinator/process env comes from the TPU runtime.')
+    parser.add_argument('--h2d_prefetch', default=True, type=_str2bool,
+                        help='Upload the NEXT batch to device while the current step '
+                             'executes (one-deep host->device double buffering; costs one '
+                             'extra device-resident batch). Hides the per-batch transfer '
+                             'on slow links; harmless on fast PCIe.')
 
 
 def train_args(argv=None):

@@ -369,6 +369,76 @@ def main(args, logger):
     return state
 
 
+class _H2DPrefetcher:
+    '''One-deep host->device double buffering for the epoch loop (--h2d_prefetch).
+
+    A worker thread pulls items from the (already prefetching) host loader and issues the
+    device upload (mesh_lib.shard_batch), so the NEXT batch's transfer proceeds while the
+    main thread is blocked in step dispatch / the one-step-lagged scalar fetch. Without
+    this, fetch -> upload -> dispatch are serial on the main thread; on links where
+    dispatch or the scalar sync block the host (e.g. the axon relay), the per-batch upload
+    lands on the critical path. Bounded queue of `depth` keeps at most depth+1 batches
+    device-resident beyond the in-flight step (~40 MB each at the compact flagship schema).
+
+    `t_wait` accumulates the consumer's input-blocked time (loader + any un-hidden upload),
+    preserving the loader-vs-device meaning of the epoch accounting line. Loader exceptions
+    re-raise in the consumer. `close()` (always called, via finally) unblocks and joins the
+    worker so early exits (preemption, exception budget) never leave a producer uploading
+    while a checkpoint fetch needs the link.
+    '''
+
+    _DONE = object()
+
+    def __init__(self, iterator, mesh, depth: int = 1):
+        import queue as queue_mod
+        self._mesh = mesh
+        self._q = queue_mod.Queue(maxsize=max(depth, 1))
+        self._stop = threading.Event()
+        self.t_wait = 0.0
+        self._thread = threading.Thread(
+            target=self._produce, args=(iter(iterator),), daemon=True)
+        self._thread.start()
+
+    def _produce(self, it):
+        try:
+            for batch in it:
+                device_batch = mesh_lib.shard_batch(batch['device'], self._mesh)
+                while not self._stop.is_set():
+                    try:
+                        self._q.put((batch, device_batch), timeout=0.2)
+                        break
+                    except Exception:  # queue.Full
+                        continue
+                if self._stop.is_set():
+                    return
+            self._q.put(self._DONE)
+        except BaseException as e:  # noqa: BLE001 — re-raised in the consumer
+            try:
+                self._q.put(e, timeout=5.0)
+            except Exception:
+                pass
+
+    def __iter__(self):
+        while True:
+            t0 = time.time()
+            item = self._q.get()
+            self.t_wait += time.time() - t0
+            if item is self._DONE:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+
+    def close(self):
+        self._stop.set()
+        while not self._q.empty():
+            try:
+                self._q.get_nowait()
+            except Exception:
+                break
+        self._thread.join(timeout=10.0)
+
+
 def _run_one_epoch(args, logger, mesh, state, train_step, eval_step, loader, phase, epoch,
                    steps_per_epoch, total_steps_all, vis_step=None, start_step=0,
                    stop_event=None):
@@ -412,70 +482,81 @@ def _run_one_epoch(args, logger, mesh, state, train_step, eval_step, loader, pha
     # device time surfaces at the one-step-lagged scalar fetch).
     t_wait = 0.0
     t_mark = time.time()
-    iterator = loader.iter_batches(start_step) if start_step else loader
-    for cur_step, batch in enumerate(iterator, start=start_step):
-        t_wait += time.time() - t_mark
-        if cur_step == start_step:
-            logger.info(f'Enter first data loader iteration took '
-                        f'{time.time() - start_time:.3f}s')
-        # Trace a few steady-state steps once (SURVEY.md section 5.1: the TPU-native
-        # replacement for the reference's ad-hoc wall-clock logging).
-        if profile_dir and is_train and epoch == 0 and cur_step == profile_start \
-                and not tracing:
-            jax.profiler.start_trace(profile_dir)
-            tracing = True
-            logger.info(f'jax.profiler trace started -> {profile_dir}')
-        if tracing and cur_step == profile_start + 3:
-            jax.profiler.stop_trace()
-            tracing = False
-            logger.info('jax.profiler trace stopped.')
-        total_step = cur_step + steps_per_epoch * epoch
-        progress = total_step / max(total_steps_all, 1)
-        try:
-            device_batch = mesh_lib.shard_batch(batch['device'], mesh)
-            if is_train:
-                state, aux = train_step(state, device_batch, jnp.float32(progress))
-            else:
-                aux = eval_step(state.params, device_batch, jnp.float32(progress))
-            # Log with a one-step lag: fetching scalars immediately would synchronize the
-            # host with the device every step and stall the dispatch pipeline.
-            if pending_aux is not None:
-                _log_step_scalars(logger, phase, epoch, pending_step, len(loader),
-                                  pending_aux)
-            pending_aux, pending_step = aux, cur_step
-            # Train-time overlay videos every step_interval steps (the reference's primary
-            # visual oracle, train.py:74 -> logvis.py:176-308). Gated on the GLOBAL step:
-            # with reference-sized epochs (thousands of steps) this matches the per-epoch
-            # gate, but on small datasets a per-epoch gate fired at step 0 of EVERY epoch
-            # — and each render device_gets ~100 MB of full-resolution outputs, which
-            # dominated epoch wall time on a relay-attached host.
-            if is_train and vis_step is not None \
-                    and total_step % logger.step_interval == 0:
-                try:
-                    _render_train_overlays(logger, args, phase, epoch, cur_step,
-                                           total_step, steps_per_epoch, state, vis_step,
-                                           batch, device_batch, progress)
-                except Exception as e:  # visualization must never kill training
-                    logger.warning(f'train-step visualization failed: {e}')
-        except Exception as e:
-            num_exceptions += 1
-            if num_exceptions >= 20:
-                raise
-            logger.exception(e)
-            if check_stop():   # keep the collective count aligned across hosts
-                logger.warning(f'[{phase}] stopping after failed step {cur_step} '
+    base_iter = loader.iter_batches(start_step) if start_step else loader
+    prefetcher = None
+    if getattr(args, 'h2d_prefetch', True):
+        prefetcher = _H2DPrefetcher(base_iter, mesh)
+        iterator = iter(prefetcher)
+    else:
+        iterator = ((b, None) for b in base_iter)
+    try:
+        for cur_step, (batch, device_batch) in enumerate(iterator, start=start_step):
+            t_wait += time.time() - t_mark
+            if cur_step == start_step:
+                logger.info(f'Enter first data loader iteration took '
+                            f'{time.time() - start_time:.3f}s')
+            # Trace a few steady-state steps once (SURVEY.md section 5.1: the TPU-native
+            # replacement for the reference's ad-hoc wall-clock logging).
+            if profile_dir and is_train and epoch == 0 and cur_step == profile_start \
+                    and not tracing:
+                jax.profiler.start_trace(profile_dir)
+                tracing = True
+                logger.info(f'jax.profiler trace started -> {profile_dir}')
+            if tracing and cur_step == profile_start + 3:
+                jax.profiler.stop_trace()
+                tracing = False
+                logger.info('jax.profiler trace stopped.')
+            total_step = cur_step + steps_per_epoch * epoch
+            progress = total_step / max(total_steps_all, 1)
+            try:
+                if device_batch is None:
+                    device_batch = mesh_lib.shard_batch(batch['device'], mesh)
+                if is_train:
+                    state, aux = train_step(state, device_batch, jnp.float32(progress))
+                else:
+                    aux = eval_step(state.params, device_batch, jnp.float32(progress))
+                # Log with a one-step lag: fetching scalars immediately would synchronize the
+                # host with the device every step and stall the dispatch pipeline.
+                if pending_aux is not None:
+                    _log_step_scalars(logger, phase, epoch, pending_step, len(loader),
+                                      pending_aux)
+                pending_aux, pending_step = aux, cur_step
+                # Train-time overlay videos every step_interval steps (the reference's primary
+                # visual oracle, train.py:74 -> logvis.py:176-308). Gated on the GLOBAL step:
+                # with reference-sized epochs (thousands of steps) this matches the per-epoch
+                # gate, but on small datasets a per-epoch gate fired at step 0 of EVERY epoch
+                # — and each render device_gets ~100 MB of full-resolution outputs, which
+                # dominated epoch wall time on a relay-attached host.
+                if is_train and vis_step is not None \
+                        and total_step % logger.step_interval == 0:
+                    try:
+                        _render_train_overlays(logger, args, phase, epoch, cur_step,
+                                               total_step, steps_per_epoch, state, vis_step,
+                                               batch, device_batch, progress)
+                    except Exception as e:  # visualization must never kill training
+                        logger.warning(f'train-step visualization failed: {e}')
+            except Exception as e:
+                num_exceptions += 1
+                if num_exceptions >= 20:
+                    raise
+                logger.exception(e)
+                if check_stop():   # keep the collective count aligned across hosts
+                    logger.warning(f'[{phase}] stopping after failed step {cur_step} '
+                                   f'(preemption requested).')
+                    break
+                t_mark = time.time()
+                continue
+            if cur_step >= 100 and args.is_debug:
+                logger.warning('Cutting epoch short for debugging...')
+                break
+            if check_stop():
+                logger.warning(f'[{phase}] stopping after step {cur_step} '
                                f'(preemption requested).')
                 break
             t_mark = time.time()
-            continue
-        if cur_step >= 100 and args.is_debug:
-            logger.warning('Cutting epoch short for debugging...')
-            break
-        if check_stop():
-            logger.warning(f'[{phase}] stopping after step {cur_step} '
-                           f'(preemption requested).')
-            break
-        t_mark = time.time()
+    finally:
+        if prefetcher is not None:
+            prefetcher.close()
     if pending_aux is not None:
         _log_step_scalars(logger, phase, epoch, pending_step, len(loader), pending_aux)
     if tracing:

@@ -211,3 +211,47 @@ def test_multihost_smoke(synth_root, tmp_path, tiny_preset, monkeypatch):
     state = driver.main(args, logger)
     assert calls == [1]
     assert int(np.asarray(state.step)) == 2  # 4 scenes / batch 2 = 2 steps x 1 epoch
+
+def test_h2d_prefetcher_order_errors_and_close():
+    '''--h2d_prefetch double buffering (driver._H2DPrefetcher): batches come out in loader
+    order with their uploads already issued; loader exceptions re-raise in the consumer;
+    close() unblocks a producer waiting on a full queue.'''
+    import time
+
+    import jax
+    from tcow_tpu.parallel import mesh as mesh_lib
+    from tcow_tpu.train import driver
+
+    mesh = mesh_lib.make_mesh()
+
+    def batches(n):
+        for i in range(n):
+            yield {'device': {'x': np.full((8, 2), i, np.float32), 's': np.float32(i)}}
+
+    pf = driver._H2DPrefetcher(batches(5), mesh)
+    seen = []
+    for host, dev in pf:
+        assert isinstance(dev['x'], jax.Array) and dev['x'].shape == (8, 2)
+        assert float(dev['s']) == float(host['device']['s'])
+        seen.append(int(host['device']['x'][0, 0]))
+    pf.close()
+    assert seen == [0, 1, 2, 3, 4]
+
+    # Loader exception surfaces in the consumer (after the items before it).
+    def broken():
+        yield {'device': {'x': np.zeros((8, 2), np.float32)}}
+        raise RuntimeError('loader boom')
+
+    pf = driver._H2DPrefetcher(broken(), mesh)
+    it = iter(pf)
+    next(it)
+    with pytest.raises(RuntimeError, match='loader boom'):
+        next(it)
+    pf.close()
+
+    # Early close() with a producer blocked on the full queue: join must succeed.
+    pf = driver._H2DPrefetcher(batches(50), mesh)
+    next(iter(pf))
+    time.sleep(0.05)   # let the producer refill + block on the bounded queue
+    pf.close()
+    assert not pf._thread.is_alive()
