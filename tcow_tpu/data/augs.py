@@ -99,9 +99,10 @@ def color_jitter(frames: np.ndarray, rng: np.random.Generator, brightness=0.2, c
 
 
 def gaussian_blur(frames: np.ndarray, rng: np.random.Generator, ksize=5,
-                  sigma_range=(0.1, 3.5)) -> np.ndarray:
+                  sigma_range=(0.1, 3.5), sigma: Optional[float] = None) -> np.ndarray:
     import cv2
-    sigma = float(rng.uniform(*sigma_range))
+    if sigma is None:
+        sigma = float(rng.uniform(*sigma_range))
     out = np.empty_like(frames)
     for t in range(frames.shape[0]):
         img = frames[t].transpose(1, 2, 0)
@@ -148,9 +149,10 @@ class AugmentationPipeline:
                  frame_width: int, frame_stride: int, do_random_augs: bool, augs_2d: bool,
                  reverse_prob: float, palindrome_prob: float, center_crop: bool,
                  defer_color_jitter: bool = False, time_stretch_max: float = 1.0):
-        # defer_color_jitter: sample the jitter factors here (same RNG stream) but leave
-        # the pixel math to the device (tcow_tpu/ops/device_augs.py); factors land in
-        # params['jitter_factors'].
+        # defer_color_jitter: sample the color-chain parameters here (same RNG stream)
+        # but leave ALL the pixel math (jitter + blur + grayscale) to the device
+        # (tcow_tpu/ops/device_augs.py); factors land in params['jitter_factors'] and
+        # params['blur_sigmas'] (resize-ratio-scaled).
         # time_stretch_max > 1 (train + rope_time_coords only): scale each example's rope
         # time coordinates by a random log-uniform factor in [1, max] — a pure coordinate
         # augmentation (no pixel change) that exercises LONG relative offsets so windowed
@@ -274,30 +276,43 @@ class AugmentationPipeline:
                 # float pixel op actually runs — here if jitter/blur/grayscale execute
                 # on host, else just before the resize. Identical numerics, 4x fewer
                 # bytes copied through the aug chain.
-                if x.dtype == np.uint8:
-                    will_defer = (self.defer_color_jitter and not params['rgb_blur']
-                                  and not params['rgb_grayscale'])
-                    host_pixel_math = ((params['color_jitter'] and not will_defer)
-                                       or params['rgb_blur'] or params['rgb_grayscale'])
-                    if host_pixel_math:
-                        x = x.astype(np.float32) / 255.0
-                if params['color_jitter']:
-                    # Deferring moves the jitter AFTER blur/grayscale (it runs on device
-                    # post-resize), which would silence hue/saturation on grayscale items
-                    # and reorder it against blur — so items that also drew blur or
-                    # grayscale jitter on the HOST in the reference order instead.
-                    # sample_jitter_factors consumes exactly the draws color_jitter
-                    # would, so the RNG stream is identical either way.
-                    defer = (self.defer_color_jitter
-                             and not params['rgb_blur'] and not params['rgb_grayscale'])
-                    if defer:
+                if self.defer_color_jitter:
+                    # Full device deferral: the host only SAMPLES (consuming exactly the
+                    # draws the host ops would, so the augmentation RNG stream is
+                    # identical either way); jitter + blur + grayscale all run on device
+                    # post-resize in the same relative order as the host chain
+                    # (ops/device_augs.py). rgb stays uint8 through the whole host chain
+                    # — no float conversion, no pixel math on the loader core.
+                    if params['color_jitter']:
                         params['jitter_factors'] = sample_jitter_factors(rng)
-                    else:
+                    if params['rgb_blur']:
+                        sigma = float(rng.uniform(0.1, 3.5))
+                        # The host blur runs at source resolution BEFORE crop/resize;
+                        # deferred it runs post-resize, so scale sigma by the
+                        # crop->target spatial ratio to preserve blur strength relative
+                        # to content (distributional parity; crop is an index op that
+                        # commutes with blur away from borders).
+                        Hc, Wc = x.shape[-2:]
+                        ch, cw = Hc, Wc
+                        cr = params['crop_rect']
+                        if cr is not None and np.all(np.asarray(cr) >= 0.0):
+                            y1, y2, x1, x2 = cr
+                            ch = max(1, int(y2 * Hc) - int(y1 * Hc))
+                            cw = max(1, int(x2 * Wc) - int(x1 * Wc))
+                        params['blur_sigmas'] = (sigma * self.frame_height / ch,
+                                                 sigma * self.frame_width / cw)
+                else:
+                    if x.dtype == np.uint8 and (params['color_jitter']
+                                                or params['rgb_blur']
+                                                or params['rgb_grayscale']):
+                        x = x.astype(np.float32) / 255.0
+                    if params['color_jitter']:
                         x = color_jitter(x, rng)
-                if params['rgb_blur']:
-                    x = gaussian_blur(x, rng)
-                if params['rgb_grayscale']:
-                    x = np.repeat(_rgb_to_gray(x), 3, axis=1)  # (T,1,H,W) -> (T,3,H,W)
+                    if params['rgb_blur']:
+                        x = gaussian_blur(x, rng)
+                    if params['rgb_grayscale']:
+                        # (T,1,H,W) -> (T,3,H,W)
+                        x = np.repeat(_rgb_to_gray(x), 3, axis=1)
 
             if params['horz_flip']:
                 x = x[..., ::-1]

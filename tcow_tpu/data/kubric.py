@@ -288,6 +288,10 @@ class KubricQueryDataset:
             else:  # jitter not drawn this item (p=0.9) -> device no-op
                 item_extra['jitter_factors'] = np.array([1, 1, 1, 0, 0], np.float32)
                 item_extra['jitter_order'] = np.arange(4, dtype=np.int32)
+            bs = augs_params.get('blur_sigmas')
+            item_extra['blur_gray'] = np.array(
+                [bs[0] if bs else 0.0, bs[1] if bs else 0.0,
+                 1.0 if augs_params.get('rgb_grayscale') else 0.0], np.float32)
 
         # np.asarray(x, dtype): no copy when the dtype already matches (astype always
         # copies — ~110 MB/item of pure memcpy on the hot loader path).
@@ -350,6 +354,8 @@ def collate_kubric(items: List[Dict], num_queries: int, phase: str,
     if 'jitter_factors' in items[0]:
         batch['jitter_factors'] = np.stack([it['jitter_factors'] for it in items])
         batch['jitter_order'] = np.stack([it['jitter_order'] for it in items])
+    if 'blur_gray' in items[0]:
+        batch['blur_gray'] = np.stack([it['blur_gray'] for it in items])
     if 'frame_times' in items[0]:
         batch['frame_times'] = np.stack([it['frame_times'] for it in items]) \
             .astype(np.float32)                                    # (B, Tc)

@@ -9,10 +9,13 @@ host cost per item. Here the HOST only samples the per-item factors + op order (
 the augmentation RNG stream identical to the host path, data/augs.py:58-79) and the
 elementwise math runs on device where it fuses into the input-unpacking pass for free.
 
-Note the deferred jitter applies AFTER spatial crop/flip/resize (the host path applies it
+Note the deferred ops apply AFTER spatial crop/flip/resize (the host path applies them
 before). Brightness/contrast/saturation/flip/crop commute exactly; hue-vs-bilinear-resize
-commutes only approximately — an equivalent-strength augmentation, not a bit-identical one
-(augmentations only need distributional parity, SURVEY.md section 7.3).
+commutes only approximately, and the blur moves from source to target resolution (sigma is
+pre-scaled by the resize ratio to preserve strength) — equivalent-strength augmentations,
+not bit-identical ones (augmentations only need distributional parity, SURVEY.md
+section 7.3). Within the deferred chain the relative op order (jitter -> blur ->
+grayscale) matches the reference.
 '''
 
 import jax
@@ -97,3 +100,47 @@ def apply_color_jitter(rgb, factors, order):
         return jnp.where(f[4] > 0.5, jit, r)
 
     return jax.vmap(one)(rgb, factors, order)
+
+
+def _gauss5(sigma):
+    '''5-tap gaussian weights, cv2.getGaussianKernel(5, sigma) semantics
+    (w_i = exp(-(i-2)^2 / (2 sigma^2)), normalized).'''
+    d = jnp.arange(5.0) - 2.0
+    w = jnp.exp(-(d * d) / (2.0 * sigma * sigma))
+    return w / jnp.sum(w)
+
+
+def _blur5(x, wy, wx):
+    '''Separable 5x5 gaussian on (3, T, H, W) with reflect-101 borders (cv2's
+    BORDER_DEFAULT; jnp.pad mode='reflect' is exactly reflect-101).'''
+    H, W = x.shape[-2], x.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (0, 0), (2, 2), (0, 0)), mode='reflect')
+    x = sum(wy[i] * xp[..., i:i + H, :] for i in range(5))
+    xp = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (2, 2)), mode='reflect')
+    return sum(wx[i] * xp[..., :, i:i + W] for i in range(5))
+
+
+def apply_blur_gray(rgb, blur_gray):
+    '''Deferred gaussian blur + grayscale inside the jitted step (the tail of the
+    reference's host color chain, /root/reference/data/augs.py:32-34,116-119: jitter ->
+    blur(ksize 5, sigma U(0.1, 3.5)) p=0.2 -> grayscale p=0.05; called AFTER
+    apply_color_jitter so the relative op order matches the host path).
+
+    The host samples sigma (same RNG stream position as its own blur) and pre-scales it
+    by the crop->resize spatial ratio, so the blur strength relative to image content
+    matches the reference's pre-resize blur (data/augs.py sets blur_sigmas).
+
+    :param rgb (B, 3, T, H, W) float32 in [0, 1].
+    :param blur_gray (B, 3) float32: (sigma_y, sigma_x, grayscale) per example;
+        sigma <= 0 means no blur, grayscale > 0.5 replicates the ITU-R 601 luma.
+    :return (B, 3, T, H, W) float32.
+    '''
+
+    def one(r, bg):
+        sy, sx, g = bg[0], bg[1], bg[2]
+        wy = _gauss5(jnp.where(sy > 0, sy, 1.0))
+        wx = _gauss5(jnp.where(sx > 0, sx, 1.0))
+        r = jnp.where(sy > 0, _blur5(r, wy, wx), r)
+        return jnp.where(g > 0.5, jnp.broadcast_to(_gray(r), r.shape), r)
+
+    return jax.vmap(one)(rgb, blur_gray)

@@ -104,6 +104,12 @@ def unpack_batch(batch) -> Dict[str, Any]:
         from tcow_tpu.ops import device_augs
         batch['rgb'] = device_augs.apply_color_jitter(
             batch['rgb'], batch.pop('jitter_factors'), batch.pop('jitter_order'))
+    if 'blur_gray' in batch:
+        # Deferred blur + grayscale (the tail of the host color chain; applied after the
+        # jitter like the reference order, /root/reference/data/augs.py:116-119).
+        from tcow_tpu.ops import device_augs
+        batch['rgb'] = device_augs.apply_blur_gray(batch['rgb'],
+                                                   batch.pop('blur_gray'))
     return batch
 
 

@@ -169,16 +169,20 @@ def test_kubric_device_jitter_path(synth_dataset):
     for it in items:
         assert it['jitter_factors'].shape == (5,)
         assert it['jitter_order'].shape == (4,)
+        assert it['blur_gray'].shape == (3,)
     batch = collate_kubric(items, num_queries=2, phase='train',
                            rng=np.random.default_rng(0))
     assert batch['jitter_factors'].shape == (2, 5)
+    assert batch['blur_gray'].shape == (2, 3)
     raw = batch['rgb_u8'].astype(np.float32) / 255.0
     dev = step_lib.unpack_batch({k: jnp.asarray(v) for k, v in batch.items()})
     want = device_augs.apply_color_jitter(jnp.asarray(raw),
                                           jnp.asarray(batch['jitter_factors']),
                                           jnp.asarray(batch['jitter_order']))
+    want = device_augs.apply_blur_gray(want, jnp.asarray(batch['blur_gray']))
     np.testing.assert_allclose(np.asarray(dev['rgb']), np.asarray(want), atol=1e-6)
-    applied = batch['jitter_factors'][:, 4] > 0.5
+    applied = ((batch['jitter_factors'][:, 4] > 0.5)
+               | (batch['blur_gray'][:, 0] > 0) | (batch['blur_gray'][:, 2] > 0.5))
     for b in range(2):
         differs = not np.allclose(np.asarray(dev['rgb'][b]), raw[b], atol=1e-5)
         assert differs == bool(applied[b]), (b, applied[b])

@@ -169,6 +169,32 @@ def test_device_color_jitter_matches_host():
     np.testing.assert_array_equal(np.asarray(dev0[0]), frames)
 
 
+def test_device_blur_gray_matches_host_ops():
+    '''apply_blur_gray reproduces cv2.GaussianBlur (ksize 5, reflect-101 borders) and the
+    host grayscale math on identical inputs at identical sigma.'''
+    import jax.numpy as jnp
+    from tcow_tpu.ops import device_augs
+
+    rng = np.random.default_rng(5)
+    frames = rng.random((4, 3, 16, 20)).astype(np.float32)          # host (T, 3, H, W)
+    dev_in = jnp.asarray(frames.transpose(1, 0, 2, 3)[None])        # (1, 3, T, H, W)
+    for sigma in (0.1, 1.0, 3.5):
+        host = augs_lib.gaussian_blur(frames, np.random.default_rng(0), sigma=sigma)
+        bg = np.array([[sigma, sigma, 0.0]], np.float32)
+        dev = device_augs.apply_blur_gray(dev_in, jnp.asarray(bg))
+        np.testing.assert_allclose(np.asarray(dev[0]).transpose(1, 0, 2, 3), host,
+                                   atol=2e-5, rtol=0, err_msg=f'sigma={sigma}')
+    # Grayscale alone.
+    host_g = np.repeat(augs_lib._rgb_to_gray(frames), 3, axis=1)
+    bg = np.array([[0.0, 0.0, 1.0]], np.float32)
+    dev = device_augs.apply_blur_gray(dev_in, jnp.asarray(bg))
+    np.testing.assert_allclose(np.asarray(dev[0]).transpose(1, 0, 2, 3), host_g,
+                               atol=1e-6, rtol=0)
+    # All-zero vector -> exact no-op.
+    dev0 = device_augs.apply_blur_gray(dev_in, jnp.zeros((1, 3), jnp.float32))
+    np.testing.assert_array_equal(np.asarray(dev0), np.asarray(dev_in))
+
+
 def test_deferred_jitter_keeps_rng_stream_aligned(monkeypatch):
     '''With defer_color_jitter, the PIPELINE's RNG must sit at the same stream position
     after the jitter point as the host-jitter path (sample_jitter_factors consumes
@@ -213,27 +239,51 @@ def test_deferred_jitter_keeps_rng_stream_aligned(monkeypatch):
     assert not np.allclose(outs[False][0]['rgb'], outs[True][0]['rgb'])
 
 
-def test_deferred_jitter_falls_back_to_host_order_for_blur_grayscale():
-    '''Items that also draw blur or grayscale must jitter on the HOST in the reference
-    order (jitter -> blur -> gray): deferring would reorder the ops (device jitter runs
-    post-resize) and make hue/saturation a no-op on grayscale frames. Outputs of the
-    deferred pipeline must therefore be IDENTICAL to the host pipeline for such items,
-    with no jitter_factors emitted.'''
+def test_deferred_blur_grayscale_matches_host_chain():
+    '''Full deferral (round 3): items drawing blur/grayscale defer the WHOLE color chain
+    (jitter -> blur -> gray, same relative order as the host) to the device. With an
+    identity spatial path (no crop/flip, source size == target size) applying the device
+    ops to the deferred pipeline's rgb must reproduce the host pipeline's rgb to float
+    tolerance — which also proves the deferred path consumed the same RNG draws (factors
+    + blur sigma) at the same stream positions.'''
+    import jax.numpy as jnp
+    from tcow_tpu.ops import device_augs
+
     rng_img = np.random.default_rng(8)
     rgb = rng_img.random((3, 10, 24, 32)).astype(np.float32)
 
-    for extra in ('rgb_blur', 'rgb_grayscale'):
-        outs = {}
+    for blur, gray in ((True, False), (False, True), (True, True)):
+        outs, fparams = {}, {}
         for defer in (False, True):
             pipe = make_pipeline(defer_color_jitter=defer)
             params = pipe.sample_augs_params(np.random.default_rng(13))
             params['color_jitter'] = True
-            params['rgb_blur'] = params['rgb_grayscale'] = False
-            params[extra] = True
+            params['rgb_blur'] = blur
+            params['rgb_grayscale'] = gray
+            params['horz_flip'] = False
+            params['crop_rect'] = -np.ones(4)
             out = pipe.apply_augs_2d_frames({'rgb': rgb.copy()}, params)
-            assert params.get('jitter_factors') is None, (extra, defer)
             outs[defer] = out['rgb']
-        np.testing.assert_array_equal(outs[True], outs[False], err_msg=extra)
+            fparams[defer] = params
+
+        p = fparams[True]
+        jf = p['jitter_factors']
+        assert jf is not None
+        if blur:
+            sy, sx = p['blur_sigmas']
+            assert 0.1 <= sy <= 3.5 and sy == sx  # identity resize -> unscaled sigma
+        else:
+            assert 'blur_sigmas' not in p
+        fv = np.array([[jf['fb'], jf['fc'], jf['fs'], jf['fh'], 1.0]], np.float32)
+        ov = jf['order'][None].astype(np.int32)
+        bg = np.array([[p['blur_sigmas'][0] if blur else 0.0,
+                        p['blur_sigmas'][1] if blur else 0.0,
+                        1.0 if gray else 0.0]], np.float32)
+        dev = device_augs.apply_color_jitter(jnp.asarray(outs[True][None]),
+                                             jnp.asarray(fv), jnp.asarray(ov))
+        dev = device_augs.apply_blur_gray(dev, jnp.asarray(bg))
+        np.testing.assert_allclose(np.asarray(dev[0]), outs[False], atol=3e-3, rtol=0,
+                                   err_msg=f'blur={blur} gray={gray}')
 
 
 def test_center_crop_aspect():
