@@ -329,9 +329,14 @@ class AugmentationPipeline:
             # inside resize_frames anyway — an up-front full-array contiguous copy here
             # was pure overhead either way.
             x = x.transpose(1, 0, 2, 3)
-            if 'rgb' in modality and x.dtype == np.uint8:
+            if 'rgb' in modality and x.dtype == np.uint8 and not self.defer_color_jitter:
                 x = x.astype(np.float32)  # same pixels as converting up front
                 x /= 255.0
+            # Deferred mode keeps rgb uint8 THROUGH the resize (cv2 resizes uint8 in
+            # rounded fixed point vs the float path's later truncating quantization in
+            # the collate — a <=1-LSB difference on a value the model only ever sees
+            # 1/255-quantized) and all the way to the device, skipping the f32
+            # conversion, the float resize, and the collate re-quantization.
             x = resize_frames(x, self.frame_height, self.frame_width, nearest)
             out[modality] = x
         return out

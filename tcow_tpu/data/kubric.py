@@ -273,7 +273,6 @@ class KubricQueryDataset:
             div_tf, occl_fracs_tf, query_time)                            # (K, 7)
 
         M = self.max_objects
-        div_pad, _ = data_utils.pad_div(div_tf, [0], M)
         occl_fracs_pad, _ = data_utils.pad_div(occl_fracs_tf, [0], M)
         dag_pad, _ = data_utils.pad_div(occl_cont_dag_tf, [1, 2], M)
         desir_pad, _ = data_utils.pad_div(desirability_tf, [0], M)
@@ -297,9 +296,15 @@ class KubricQueryDataset:
         # copies — ~110 MB/item of pure memcpy on the hot loader path).
         return {
             **item_extra,
-            'rgb': np.asarray(rgb_tf, np.float32),
+            # uint8 when the color chain is deferred (device_color_jitter); float
+            # otherwise. Collate handles both.
+            'rgb': rgb_tf if rgb_tf.dtype == np.uint8
+                   else np.asarray(rgb_tf, np.float32),
             'segm': segm_tf[0],                       # (Tc, Hf, Wf) int32
-            'div_segm': np.asarray(div_pad, np.uint8),  # (M, Tc, Hf, Wf)
+            # UNPADDED (K, Tc, Hf, Wf): the M=36 zero-pad happens in the collate AFTER
+            # bit-packing (padding first memset+copied an 83 MB stack per item; the
+            # packed pad is 8x smaller and packbits runs on K instead of M rows).
+            'div_segm': np.asarray(div_tf, np.uint8),
             'occl_fracs': np.asarray(occl_fracs_pad, np.float32),
             'occl_cont_dag': np.asarray(dag_pad, np.float32),
             'desirability': np.asarray(desir_pad, np.float32),
@@ -342,13 +347,24 @@ def collate_kubric(items: List[Dict], num_queries: int, phase: str,
              for k in ('occl_fracs', 'occl_cont_dag')}
     segm = np.stack([it['segm'] for it in items])
     rgb = np.stack([it['rgb'] for it in items])
-    div = np.stack([it['div_segm'] for it in items])
-    if compact_transfer and div.shape[-1] % 8 == 0:
-        batch['rgb_u8'] = np.clip(rgb * 255.0, 0, 255).astype(np.uint8)
-        batch['div_segm_packed'] = np.packbits(div, axis=-1)
+    # div_segm arrives UNPADDED (K_i, T, H, W) per item; pad to M here — after the
+    # bit-packing on the compact path, so the zero rows only ever exist packed.
+    M = items[0]['desirability'].shape[0]
+    T, H, W = items[0]['div_segm'].shape[1:]
+    if compact_transfer and W % 8 == 0:
+        batch['rgb_u8'] = (rgb if rgb.dtype == np.uint8
+                           else np.clip(rgb * 255.0, 0, 255).astype(np.uint8))
+        packed = np.zeros((B, M, T, H, W // 8), np.uint8)
+        for b, it in enumerate(items):
+            packed[b, :it['div_segm'].shape[0]] = np.packbits(it['div_segm'], axis=-1)
+        batch['div_segm_packed'] = packed
         batch['segm_u8'] = segm.astype(np.uint8)  # instance ids <= M = 36
     else:
-        batch['rgb'] = rgb
+        batch['rgb'] = (rgb.astype(np.float32) / 255.0 if rgb.dtype == np.uint8
+                        else rgb)
+        div = np.zeros((B, M, T, H, W), np.uint8)
+        for b, it in enumerate(items):
+            div[b, :it['div_segm'].shape[0]] = it['div_segm']
         batch['div_segm'] = div
         batch['segm'] = segm
     if 'jitter_factors' in items[0]:

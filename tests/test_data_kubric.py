@@ -129,7 +129,9 @@ def test_kubric_dataset_end_to_end(synth_dataset):
     item = ds[0]
     assert item['rgb'].shape == (3, 8, 32, 48)
     assert item['segm'].shape == (8, 32, 48)
-    assert item['div_segm'].shape == (6, 8, 32, 48)
+    # div_segm ships UNPADDED (K rows); the collate pads to max_objects post-packbits.
+    assert item['div_segm'].shape[1:] == (8, 32, 48)
+    assert item['div_segm'].shape[0] <= 6
     assert item['occl_fracs'].shape == (6, 8, 3)
     assert item['occl_cont_dag'].shape == (8, 6, 6, 3)
     assert item['source_name'] == 'kubric'
@@ -144,8 +146,10 @@ def test_kubric_dataset_end_to_end(synth_dataset):
     from tcow_tpu.objectives import supervision
     from tcow_tpu.train import step as step_lib
     dev = step_lib.unpack_batch({k: jnp.asarray(v) for k, v in batch.items()})
-    np.testing.assert_array_equal(
-        np.asarray(dev['div_segm']), np.stack([it['div_segm'] for it in items]))
+    want_div = np.zeros((2, 6) + items[0]['div_segm'].shape[1:], np.uint8)
+    for b, it in enumerate(items):
+        want_div[b, :it['div_segm'].shape[0]] = it['div_segm']
+    np.testing.assert_array_equal(np.asarray(dev['div_segm']), want_div)
     sup = supervision.fill_query_target_batch(
         dev['segm'], dev['div_segm'],
         jnp.asarray(batch['query_inds']), jnp.int32(batch['query_time']),
