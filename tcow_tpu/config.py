@@ -75,10 +75,17 @@ def shared_args(parser: argparse.ArgumentParser):
                              'is split into contiguous stages and microbatches stream '
                              'through them GPipe-style (timesformer._gpipe_scan). '
                              'Requires network_depth %% (pp_stages * remat_group) == 0. '
-                             'Uses the XLA attention path.')
+                             'On (pipe x data)-only TPU meshes the manual-pipe schedule '
+                             'keeps the fused Pallas attention (see --pp_manual); PP '
+                             'composed with TP/SP uses the XLA attention path.')
     parser.add_argument('--pp_microbatches', default=0, type=int,
                         help='Microbatches for pipeline parallelism; 0 = pp_stages. Must '
                              'divide batch_size * num_queries.')
+    parser.add_argument('--pp_manual', default=1, type=int,
+                        help='Allow the manual-pipe schedule (explicit shard_map + '
+                             'ppermute) on (pipe x data)-only TPU meshes so pipeline '
+                             'parallelism keeps the fused Pallas attention kernel; '
+                             '0 forces the GSPMD GPipe path (XLA attention) everywhere.')
     parser.add_argument('--compute_dtype', default='bfloat16', type=str,
                         choices=['bfloat16', 'float32'])
     parser.add_argument('--profile_dir', default='', type=str,

@@ -62,6 +62,9 @@ class SeekerConfig:
     pipe_axis: Any = None   # pipeline parallelism (GPipe schedule over block-stack
     pp_stages: int = 1      # stages, timesformer._gpipe_scan; pp_microbatches=0 means
     pp_microbatches: int = 0  # "= pp_stages")
+    pp_manual: bool = False  # manual-pipe variant (timesformer._manual_pipe_scan):
+    #   explicit shard_map + ppermute schedule that keeps the fused Pallas attention
+    #   usable under PP; requires a (pipe x data)-only mesh.
 
     @property
     def input_channels(self) -> int:
@@ -89,7 +92,8 @@ class SeekerConfig:
             attention_bwd=self.attention_bwd, temporal_rope=self.temporal_rope,
             batch_axis=self.batch_axis, seq_axis=self.seq_axis,
             model_axis=self.model_axis, pipe_axis=self.pipe_axis,
-            pp_stages=self.pp_stages, pp_microbatches=self.pp_microbatches)
+            pp_stages=self.pp_stages, pp_microbatches=self.pp_microbatches,
+            pp_manual=self.pp_manual)
 
 
 def seeker_config_from_args(seeker_args: Dict[str, Any], **overrides) -> SeekerConfig:

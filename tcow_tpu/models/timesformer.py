@@ -91,6 +91,14 @@ class TimeSformerConfig:
     pipe_axis: Any = None
     pp_stages: int = 1
     pp_microbatches: int = 0  # 0 -> defaults to pp_stages
+    # Manual-pipe variant of the GPipe schedule (_manual_pipe_scan): the tick loop runs
+    # inside ONE jax.shard_map region over (pipe_axis, batch_axis) with an explicit
+    # lax.ppermute stage handoff, so each stage's block stack is plain single-device JAX
+    # and free to call the fused Pallas attention kernel (incl. its in-kernel backward) —
+    # the one kernel/mesh combination the GSPMD path (stage vmap + jnp.roll) cannot
+    # express. Requires seq_axis/model_axis unset (sharding inside a manual region would
+    # need hand-written collectives) and microbatch rows divisible by the data-axis size.
+    pp_manual: bool = False
 
     @property
     def grid_h(self) -> int:
@@ -471,12 +479,16 @@ def _gpipe_scan(body, carry, scanned_leaves, cfg: 'TimeSformerConfig'):
     here each (stage-step, microbatch) pair folds the microbatch index into its key so
     masks stay independent across microbatches (different — but equally valid — randomness
     than the sequential schedule; exactness tests run with drop_path 0).
+
+    `carry` is a tuple of batch-leading arrays threaded through every block — (xs, cls)
+    plus, under time-calibrated rope, the per-example frame_times. All carry elements are
+    microbatched/buffered/rolled uniformly, so per-example side inputs stay aligned with
+    their microbatch (a closure over the full-batch array would see mb != B shapes).
     '''
     from jax.sharding import PartitionSpec as P
 
     S = int(cfg.pp_stages)
-    xs0, cls0 = carry
-    B = xs0.shape[0]
+    B = carry[0].shape[0]
     M = resolve_pp_microbatches(cfg.pp_microbatches, S, B)
     assert B % M == 0, f'batch {B} not divisible by pp_microbatches {M}'
     mb = B // M
@@ -514,8 +526,8 @@ def _gpipe_scan(body, carry, scanned_leaves, cfg: 'TimeSformerConfig'):
             pin(stage_split(dprs), (cfg.pipe_axis,)))
     rngs_s = jax.tree_util.tree_map(stage_split, rngs) if rngs is not None else None
 
-    xs_mb = xs0.reshape((M, mb) + xs0.shape[1:])
-    cls_mb = cls0.reshape((M, mb) + cls0.shape[1:])
+    carry_mb = jax.tree.map(lambda a: a.reshape((M, mb) + a.shape[1:]), carry)
+    pin_act = lambda a: pin(a, (cfg.pipe_axis, cfg.batch_axis))
 
     def stage_fn(stage_leaves, c):
         out, _ = jax.lax.scan(body, c, stage_leaves)
@@ -530,35 +542,128 @@ def _gpipe_scan(body, carry, scanned_leaves, cfg: 'TimeSformerConfig'):
     n_ticks = M + S - 1
 
     def tick(buf, t):
-        bxs, bcls = buf
         i_in = jnp.minimum(t, M - 1)
-        bxs = jax.lax.dynamic_update_index_in_dim(
-            bxs, jax.lax.dynamic_index_in_dim(xs_mb, i_in, 0, keepdims=False), 0, 0)
-        bcls = jax.lax.dynamic_update_index_in_dim(
-            bcls, jax.lax.dynamic_index_in_dim(cls_mb, i_in, 0, keepdims=False), 0, 0)
-        bxs = pin(bxs, (cfg.pipe_axis, cfg.batch_axis))
-        bcls = pin(bcls, (cfg.pipe_axis, cfg.batch_axis))
+
+        def inject(b, src):
+            return jax.lax.dynamic_update_index_in_dim(
+                b, jax.lax.dynamic_index_in_dim(src, i_in, 0, keepdims=False), 0, 0)
+
+        buf = jax.tree.map(lambda b, s: pin_act(inject(b, s)), buf, carry_mb)
         if rngs_s is not None:
             mb_ids = jnp.clip(t - stage_ids, 0, M - 1)  # stage s holds microbatch t - s
             rngs_t = jax.tree_util.tree_map(
                 lambda k: jax.vmap(fold_stage_keys)(k, mb_ids), rngs_s)
         else:
             rngs_t = None
-        oxs, ocls = jax.vmap(stage_fn)((base[0], base[1], rngs_t), (bxs, bcls))
-        out = (oxs[S - 1], ocls[S - 1])
-        nxt = (pin(jnp.roll(oxs, 1, axis=0), (cfg.pipe_axis, cfg.batch_axis)),
-               pin(jnp.roll(ocls, 1, axis=0), (cfg.pipe_axis, cfg.batch_axis)))
+        ostages = jax.vmap(stage_fn)((base[0], base[1], rngs_t), buf)
+        out = jax.tree.map(lambda a: a[S - 1], ostages)
+        nxt = jax.tree.map(lambda a: pin_act(jnp.roll(a, 1, axis=0)), ostages)
         return nxt, out
 
-    buf0 = (pin(jnp.zeros((S, mb) + xs0.shape[1:], xs0.dtype),
-                (cfg.pipe_axis, cfg.batch_axis)),
-            pin(jnp.zeros((S, mb) + cls0.shape[1:], cls0.dtype),
-                (cfg.pipe_axis, cfg.batch_axis)))
-    _, (ys_xs, ys_cls) = jax.lax.scan(tick, buf0, jnp.arange(n_ticks))
+    buf0 = jax.tree.map(
+        lambda a: pin_act(jnp.zeros((S, mb) + a.shape[1:], a.dtype)), carry)
+    _, ys = jax.lax.scan(tick, buf0, jnp.arange(n_ticks))
     # Tick t emits microbatch t - (S - 1); the first S - 1 entries are pipeline warm-up.
-    xs_out = ys_xs[S - 1:].reshape((B,) + xs0.shape[1:])
-    cls_out = ys_cls[S - 1:].reshape((B,) + cls0.shape[1:])
-    return xs_out, cls_out
+    return jax.tree.map(lambda a: a[S - 1:].reshape((B,) + a.shape[2:]), ys)
+
+
+def _manual_pipe_scan(body, carry, scanned_leaves, cfg: 'TimeSformerConfig'):
+    '''Pipeline parallelism as ONE manual shard_map region (explicit-collective GPipe).
+
+    Same (M + S - 1)-tick GPipe schedule as `_gpipe_scan` — same math, same gradient
+    exactness — but instead of relying on the GSPMD partitioner (stage vmap + jnp.roll
+    lowered to CollectivePermute), the whole tick loop runs inside `jax.shard_map` over
+    (cfg.pipe_axis, cfg.batch_axis): each device group holds ONLY its own stage's block
+    parameters (leading stage axis sharded over 'pipe'), runs its stage's block scan on
+    plain single-device values, and hands activations to the next stage with an explicit
+    `jax.lax.ppermute`. Because the per-stage computation is ordinary local JAX, the
+    stage body is free to call single-device kernels — in particular the fused Pallas
+    attention with its in-kernel custom-VJP backward ('kernel_x' + 'dots_nb_out'), which
+    the GSPMD path cannot reach under the stage vmap (docs/SCALING.md). `body` must be
+    built with a mesh-free cfg (with_sharding_constraint is illegal over manual axes);
+    `forward` passes an axes-stripped copy.
+
+    Gradient flow: shard_map's transpose turns each ppermute into the inverse permute,
+    keeps the stage-sharded parameter cotangents sharded (every stage owns its gradient
+    chunk), and psums the replicated/data-sharded input cotangents over the region axes —
+    exactly the PP + DP gradient reduction. Drop-path folds the microbatch index into
+    each local stage key like `_gpipe_scan`.
+
+    Constraints (asserted): the ambient mesh's pipe axis size == pp_stages; every other
+    mesh axis except the batch axis has size 1 (TP/SP inside the manual region would
+    need hand-written collectives — the driver falls back to the GSPMD path there); the
+    per-microbatch row count divides the data-axis size.
+    '''
+    from jax.sharding import PartitionSpec as P
+
+    S = int(cfg.pp_stages)
+    B = carry[0].shape[0]
+    M = resolve_pp_microbatches(cfg.pp_microbatches, S, B)
+    assert B % M == 0, f'batch {B} not divisible by pp_microbatches {M}'
+    mb = B // M
+    pb, dprs, rngs = scanned_leaves
+    steps = dprs.shape[0]
+    assert steps % S == 0, f'{steps} scan steps not divisible by pp_stages {S}'
+
+    mesh = jax.sharding.get_abstract_mesh()
+    assert mesh is not None and not mesh.empty, 'manual pipe needs an ambient mesh'
+    sizes = dict(mesh.shape)
+    pipe, data = cfg.pipe_axis, cfg.batch_axis
+    assert sizes.get(pipe, 1) == S, f'pipe axis {pipe}={sizes.get(pipe)} != stages {S}'
+    n_data = sizes.get(data, 1) if data is not None else 1
+    for ax, sz in sizes.items():
+        assert ax in (pipe, data) or sz == 1, \
+            f'manual pipe supports (pipe x data) meshes only; axis {ax} has size {sz}'
+    assert mb % n_data == 0, (f'microbatch rows {mb} must divide over the data axis '
+                              f'({n_data} shards) for the manual pipe')
+
+    def stage_split(a):
+        return a.reshape((S, a.shape[0] // S) + a.shape[1:])
+
+    stages = jax.tree.map(stage_split, (pb, dprs, rngs))
+    carry_mb = jax.tree.map(lambda a: a.reshape((M, mb) + a.shape[1:]), carry)
+    n_ticks = M + S - 1
+    perm = [(s, s + 1) for s in range(S - 1)]
+
+    def region(stages_l, carry_mb_l):
+        # Local views: stage leaves (1, steps/S, ...) -> squeeze; rows are data-local.
+        pb_l, dprs_l, rngs_l = jax.tree.map(lambda a: a[0], stages_l)
+        sid = jax.lax.axis_index(pipe)
+        is_first = sid == 0
+
+        def fold_keys(tree, idx):
+            def f(k):
+                flat = k.reshape(-1)
+                return jax.vmap(jax.random.fold_in, in_axes=(0, None))(
+                    flat, idx).reshape(k.shape)
+            return jax.tree.map(f, tree)
+
+        def tick(buf, t):
+            i_in = jnp.minimum(t, M - 1)
+            inj = jax.tree.map(
+                lambda a: jax.lax.dynamic_index_in_dim(a, i_in, 0, keepdims=False),
+                carry_mb_l)
+            # Stage 0 consumes the next input microbatch; later stages consume what the
+            # previous stage ppermuted in. Ticks >= M re-inject microbatch M-1 whose
+            # results are never collected (warm-up/drain bubble, zero gradient).
+            buf = jax.tree.map(lambda i, b: jnp.where(is_first, i, b), inj, buf)
+            rngs_t = (fold_keys(rngs_l, jnp.clip(t - sid, 0, M - 1))
+                      if rngs_l is not None else None)
+            out, _ = jax.lax.scan(body, buf, (pb_l, dprs_l, rngs_t))
+            nxt = jax.tree.map(lambda a: jax.lax.ppermute(a, pipe, perm), out)
+            return nxt, out
+
+        buf0 = jax.tree.map(lambda a: jnp.zeros(a.shape[1:], a.dtype), carry_mb_l)
+        _, ys = jax.lax.scan(tick, buf0, jnp.arange(n_ticks))
+        return jax.tree.map(lambda a: a[:, None], ys)  # local stage axis for out_specs
+
+    out = jax.shard_map(region, mesh=mesh,
+                        in_specs=(P(pipe), P(None, data)),
+                        out_specs=P(None, pipe, data), check_vma=False)(
+        stages, carry_mb)
+    # ys global layout (n_ticks, S, mb, ...): stage S-1's tick t holds microbatch
+    # t - (S - 1), so slicing [S-1:, S-1] recovers the M microbatches in order.
+    return jax.tree.map(lambda a: a[S - 1:, S - 1].reshape((B,) + a.shape[3:]), out)
 
 
 # ---------------------------------------------------------------------------
@@ -643,16 +748,6 @@ def forward(params: Dict[str, Any], cfg: TimeSformerConfig, pixels: jnp.ndarray,
         scanned_leaves = jax.tree_util.tree_map(
             lambda a: a.reshape((L // G, G) + a.shape[1:]), scanned_leaves)
 
-    def body(carry, scanned):
-        xs, cls = carry
-        p_g, dpr_g, rngs_g = scanned
-        for i in range(G):
-            take = lambda a: jax.tree_util.tree_map(lambda x: x[i], a) if G > 1 else a
-            xs, cls = block_fn(take(p_g), xs, cls, cfg, take(dpr_g),
-                               take(rngs_g) if rngs_g is not None else None,
-                               frame_times=frame_times)
-        return (xs, cls), None
-
     if cfg.remat:
         # Per-block rematerialization: the scan carries are kept, block internals are
         # recomputed during the backward pass (the TPU substitute for the reference's
@@ -681,13 +776,42 @@ def forward(params: Dict[str, Any], cfg: TimeSformerConfig, pixels: jnp.ndarray,
                       cp.dots_with_no_batch_dims_saveable,
                       cp.save_only_these_names('attn_out', 'attn_qkv')),
                   }[cfg.remat_policy]
-        body = jax.checkpoint(body, prevent_cse=False, policy=policy)
 
-    if cfg.pp_stages > 1:
+    def make_body(c: 'TimeSformerConfig'):
+        '''Block-scan body for config `c`. The carry is (xs, cls) plus, under
+        time-calibrated rope, the per-example frame_times — threaded through the carry
+        (not closed over) so the pipeline paths can microbatch it with the rows.'''
+        bf = _divided_block if c.divided else _joint_block
+
+        def body(carry, scanned):
+            xs, cls = carry[0], carry[1]
+            ft = carry[2] if len(carry) > 2 else None
+            p_g, dpr_g, rngs_g = scanned
+            for i in range(G):
+                take = lambda a: jax.tree_util.tree_map(lambda x: x[i], a) if G > 1 else a
+                xs, cls = bf(take(p_g), xs, cls, c, take(dpr_g),
+                             take(rngs_g) if rngs_g is not None else None,
+                             frame_times=ft)
+            return (xs, cls) + tuple(carry[2:]), None
+
+        if c.remat:
+            body = jax.checkpoint(body, prevent_cse=False, policy=policy)
+        return body
+
+    carry = (xs, cls) if frame_times is None else (xs, cls, frame_times)
+    if cfg.pp_stages > 1 and cfg.pp_manual and cfg.pipe_axis is not None:
+        # Manual-pipe schedule: one shard_map region, explicit ppermute handoff, local
+        # single-device stage bodies (the fused Pallas kernel stays usable under PP).
+        # Sharding constraints are illegal over manual axes, so the inner body runs with
+        # the mesh axes stripped — inside the region everything IS device-local.
+        inner = dataclasses.replace(cfg, batch_axis=None, seq_axis=None, model_axis=None)
+        carry = _manual_pipe_scan(make_body(inner), carry, scanned_leaves, cfg)
+    elif cfg.pp_stages > 1:
         # Pipeline-parallel schedule over the stage-chunked block stack (_gpipe_scan).
-        xs, cls = _gpipe_scan(body, (xs, cls), scanned_leaves, cfg)
+        carry = _gpipe_scan(make_body(cfg), carry, scanned_leaves, cfg)
     else:
-        (xs, cls), _ = jax.lax.scan(body, (xs, cls), scanned_leaves)
+        carry, _ = jax.lax.scan(make_body(cfg), carry, scanned_leaves)
+    xs, cls = carry[0], carry[1]
 
     if cfg.norm_embeddings:
         xs = layer_norm(xs, params['norm'], cfg.ln_eps)

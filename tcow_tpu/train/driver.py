@@ -44,12 +44,19 @@ def build_seeker_config(args, seeker_args: Dict[str, Any], mesh=None) -> SeekerC
           and mesh.shape[mesh_lib.MODEL_AXIS] > 1)
     pp = (mesh is not None and mesh_lib.PIPE_AXIS in mesh.shape
           and mesh.shape[mesh_lib.PIPE_AXIS] > 1)
+    sp = (mesh is not None and mesh_lib.SEQ_AXIS in mesh.shape
+          and mesh.shape[mesh_lib.SEQ_AXIS] > 1)
     # The fused Pallas kernel composes with DP/SP/TP meshes via the row-sharded
     # shard_map wrap (pallas_attention.fused_attention_rows): every shard runs the
-    # single-device kernel incl. the in-kernel backward on its local rows. Pipeline
-    # parallelism still runs the XLA attention path (the pallas_call would sit under the
-    # stage vmap inside the tick scan — unvalidated).
-    use_pallas = jax.default_backend() == 'tpu' and not pp
+    # single-device kernel incl. the in-kernel backward on its local rows. Under
+    # pipeline parallelism the GSPMD schedule (stage vmap) cannot host the kernel, so a
+    # (pipe x data)-only mesh switches to the manual-pipe schedule
+    # (timesformer._manual_pipe_scan: explicit shard_map + ppermute, device-local stage
+    # bodies) which runs the kernel path; PP composed with TP/SP falls back to XLA
+    # attention (TP/SP inside the manual region would need hand-written collectives).
+    pp_manual = (pp and not tp and not sp and jax.default_backend() == 'tpu'
+                 and bool(int(getattr(args, 'pp_manual', 1))))
+    use_pallas = jax.default_backend() == 'tpu' and (not pp or pp_manual)
     overrides = dict(
         compute_dtype=jnp.bfloat16 if getattr(args, 'compute_dtype', 'bfloat16')
         == 'bfloat16' else jnp.float32,
@@ -67,7 +74,8 @@ def build_seeker_config(args, seeker_args: Dict[str, Any], mesh=None) -> SeekerC
         model_axis=mesh_lib.MODEL_AXIS if tp else None,
         pipe_axis=mesh_lib.PIPE_AXIS if pp else None,
         pp_stages=mesh.shape[mesh_lib.PIPE_AXIS] if pp else 1,
-        pp_microbatches=getattr(args, 'pp_microbatches', 0) if pp else 0)
+        pp_microbatches=getattr(args, 'pp_microbatches', 0) if pp else 0,
+        pp_manual=pp_manual)
     return seeker_config_from_args(seeker_args, **overrides)
 
 
