@@ -81,11 +81,14 @@ def shared_args(parser: argparse.ArgumentParser):
     parser.add_argument('--pp_microbatches', default=0, type=int,
                         help='Microbatches for pipeline parallelism; 0 = pp_stages. Must '
                              'divide batch_size * num_queries.')
-    parser.add_argument('--pp_manual', default=1, type=int,
-                        help='Allow the manual-pipe schedule (explicit shard_map + '
+    parser.add_argument('--pp_manual', default=0, type=int,
+                        help='Opt in to the manual-pipe schedule (explicit shard_map + '
                              'ppermute) on (pipe x data)-only TPU meshes so pipeline '
-                             'parallelism keeps the fused Pallas attention kernel; '
-                             '0 forces the GSPMD GPipe path (XLA attention) everywhere.')
+                             'parallelism keeps the fused Pallas attention kernel. '
+                             'Gradient-exact vs the GSPMD path on the virtual mesh '
+                             '(tests/test_pipeline_parallel.py) but never compiled on a '
+                             'real multi-chip pod, so it stays opt-in; 0 (default) uses '
+                             'the proven GSPMD GPipe path (XLA attention) everywhere.')
     parser.add_argument('--compute_dtype', default='bfloat16', type=str,
                         choices=['bfloat16', 'float32'])
     parser.add_argument('--profile_dir', default='', type=str,

@@ -13,6 +13,7 @@ import random
 import signal
 import threading
 import time
+import warnings
 from typing import Any, Dict
 
 import numpy as np
@@ -50,12 +51,31 @@ def build_seeker_config(args, seeker_args: Dict[str, Any], mesh=None) -> SeekerC
     # shard_map wrap (pallas_attention.fused_attention_rows): every shard runs the
     # single-device kernel incl. the in-kernel backward on its local rows. Under
     # pipeline parallelism the GSPMD schedule (stage vmap) cannot host the kernel, so a
-    # (pipe x data)-only mesh switches to the manual-pipe schedule
+    # (pipe x data)-only mesh CAN switch to the manual-pipe schedule
     # (timesformer._manual_pipe_scan: explicit shard_map + ppermute, device-local stage
     # bodies) which runs the kernel path; PP composed with TP/SP falls back to XLA
     # attention (TP/SP inside the manual region would need hand-written collectives).
+    # Opt-in (--pp_manual 1): gradient-exact vs the GSPMD path on the virtual mesh but
+    # never compiled on a real multi-chip pod (this rig has one chip).
     pp_manual = (pp and not tp and not sp and jax.default_backend() == 'tpu'
-                 and bool(int(getattr(args, 'pp_manual', 1))))
+                 and bool(int(getattr(args, 'pp_manual', 0))))
+    if pp_manual:
+        # The manual region shards each microbatch's rows over the data axis, so
+        # mb = rows / M must divide n_data (timesformer._manual_pipe_scan); an
+        # indivisible config silently uses the (always-valid) GSPMD path instead of
+        # dying on a trace-time shape error deep inside jit (advisor finding, round 3).
+        accum = max(1, int(getattr(args, 'grad_accum', 1)))
+        rows = (args.batch_size // accum) * args.num_queries
+        mbs = timesformer.resolve_pp_microbatches(
+            int(getattr(args, 'pp_microbatches', 0)), mesh.shape[mesh_lib.PIPE_AXIS],
+            rows)
+        n_data = mesh.shape.get(mesh_lib.DATA_AXIS, 1)
+        if rows % mbs != 0 or (rows // mbs) % n_data != 0:
+            warnings.warn(
+                f'--pp_manual: microbatch rows {rows}//{mbs} do not divide the data '
+                f'axis ({n_data} shards); falling back to the GSPMD GPipe path '
+                f'(XLA attention). Pick --pp_microbatches so rows/M % data_shards == 0.')
+            pp_manual = False
     use_pallas = jax.default_backend() == 'tpu' and (not pp or pp_manual)
     overrides = dict(
         compute_dtype=jnp.bfloat16 if getattr(args, 'compute_dtype', 'bfloat16')

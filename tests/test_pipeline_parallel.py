@@ -173,12 +173,14 @@ def test_pipeline_with_tp_and_dp(small_presets):
     np.testing.assert_allclose(loss3, float(aux1['total_seeker']), rtol=1e-5)
 
 
-def test_driver_validates_pp_divisibility():
+def test_driver_validates_pp_divisibility(tmp_path):
     '''The train driver rejects indivisible pp configs up front.'''
     from tcow_tpu import config as config_lib
     from tcow_tpu.train import driver as driver_lib
 
-    dp = ['--data_path', '/tmp/nonexistent']
+    dp = ['--data_path', '/tmp/nonexistent',
+          '--checkpoint_root', str(tmp_path / 'ckpt'),
+          '--log_root', str(tmp_path / 'logs')]
     args = config_lib.train_args(['--name', 'ppbad', '--pp_stages', '5'] + dp)
     with pytest.raises(ValueError, match='pp_stages'):
         driver_lib.validate_pp_args(args)
