@@ -179,6 +179,13 @@ def train_args(argv=None):
     parser.add_argument('--hard_negative_factor', default=3.0, type=float)
     parser.add_argument('--front_occl_thres', default=0.95, type=float)
     parser.add_argument('--outer_cont_thres', default=0.75, type=float)
+    parser.add_argument('--max_objects', default=36, type=int,
+                        help='Static instance-axis pad M (36 = the reference datasets\' '
+                             'bound, data_kubric.py:393-418). Datasets with fewer '
+                             'instances can run a smaller M: the batch ships B*M*T*H*W/8 '
+                             'packed mask bytes, so M=12 cuts that transfer (and the '
+                             'collate memset) 3x. Scenes with more than M instances are '
+                             'rejected at load time.')
     parser.add_argument('--remat', default=True, type=_str2bool,
                         help='Per-block rematerialization in the backward pass.')
     parser.add_argument('--remat_group', default=1, type=int,

@@ -110,6 +110,13 @@ def gaussian_blur(frames: np.ndarray, rng: np.random.Generator, ksize=5,
     return out
 
 
+def nearest_gather_inds(dst: int, src: int) -> np.ndarray:
+    '''The cv2.INTER_NEAREST source index per destination pixel — same one-ulp-exact
+    expression as the nearest branch of resize_frames (see the comment there).'''
+    return np.minimum(np.floor(np.arange(dst) * (1.0 / (dst / src))).astype(np.int64),
+                      src - 1)
+
+
 def resize_frames(frames: np.ndarray, height: int, width: int, nearest: bool) -> np.ndarray:
     '''(C, T, H, W) -> (C, T, height, width). Channels are chunked in groups of 4 because
     cv2.resize rejects >4-channel images (instance-mask stacks go up to K = 36).'''
@@ -126,10 +133,8 @@ def resize_frames(frames: np.ndarray, height: int, width: int, nearest: bool) ->
         # upsampling). One whole-array gather replaces ceil(C/4)*T cv2 calls +
         # per-slice contiguous copies on the 36-channel mask stacks, and accepts
         # non-contiguous input.
-        yi = np.minimum(np.floor(np.arange(height) * (1.0 / (height / H))
-                                 ).astype(np.int64), H - 1)
-        xi = np.minimum(np.floor(np.arange(width) * (1.0 / (width / W))
-                                 ).astype(np.int64), W - 1)
+        yi = nearest_gather_inds(height, H)
+        xi = nearest_gather_inds(width, W)
         return frames[:, :, yi[:, None], xi]
     interp = cv2.INTER_AREA if height < H else cv2.INTER_LINEAR
     out = np.empty((C, T, height, width), frames.dtype)
@@ -232,6 +237,45 @@ class AugmentationPipeline:
         repeated times.'''
         t = params['frame_inds_load'][params['frame_inds_clip']].astype(np.float32)
         return t * np.float32(params.get('time_stretch', 1.0))
+
+    def nearest_index_maps(self, params: Dict, H: int, W: int):
+        '''Compose frame-select + center-crop + flip + crop + nearest-resize into three
+        per-axis int64 index maps (t_map, y_map, x_map) such that, for any nearest-path
+        modality (segm / div / mask),
+            apply_augs_2d_frames({m: raw})[m][c, t, y, x]
+                == raw[c, t_map[t], y_map[y], x_map[x]]
+        exactly. This lets the native fused gather (tcow_tpu/native.gather_div_bits)
+        produce the augmented masks straight from the bit-packed cache in one pass; the
+        integer arithmetic below mirrors apply_augs_2d_frames step for step (incl.
+        cv2's one-ulp INTER_NEAREST scale expression, see resize_frames).'''
+        t_map = np.asarray(params['frame_inds_clip'], np.int64)
+
+        off_y, off_x = 0, 0
+        H1, W1 = H, W
+        if self.center_crop:
+            cur_ar = W / H
+            want_ar = self.frame_width / self.frame_height
+            if cur_ar > want_ar:
+                W1 = int(H * want_ar)
+                off_x = (W - W1) // 2
+            elif cur_ar < want_ar:
+                H1 = int(W / want_ar)
+                off_y = (H - H1) // 2
+
+        y1c, x1c = 0, 0
+        H2, W2 = H1, W1
+        crop_rect = params['crop_rect']
+        if crop_rect is not None and np.all(np.asarray(crop_rect) >= 0.0):
+            ry1, ry2, rx1, rx2 = crop_rect
+            y1c, x1c = int(ry1 * H1), int(rx1 * W1)
+            H2, W2 = int(ry2 * H1) - y1c, int(rx2 * W1) - x1c
+
+        y_map = off_y + y1c + nearest_gather_inds(self.frame_height, H2)
+        x_cc = x1c + nearest_gather_inds(self.frame_width, W2)   # in post-flip coords
+        if params['horz_flip']:
+            x_cc = W1 - 1 - x_cc
+        x_map = off_x + x_cc
+        return t_map, y_map, x_map
 
     def apply_augs_2d_frames(self, modalities: Dict[str, np.ndarray],
                              params: Dict) -> Dict[str, np.ndarray]:

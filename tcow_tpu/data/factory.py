@@ -232,7 +232,8 @@ def _kubric_dset_args(args) -> Dict[str, Any]:
         frame_stride=args.kubric_frame_stride, max_delay=args.kubric_max_delay,
         use_data_frac=args.use_data_frac, augs_2d=args.augs_2d,
         num_queries=args.num_queries, query_time=args.seeker_query_time,
-        max_objects=36, front_occl_thres=args.front_occl_thres,
+        max_objects=int(getattr(args, 'max_objects', 36)),
+        front_occl_thres=args.front_occl_thres,
         outer_cont_thres=args.outer_cont_thres, reverse_prob=args.kubric_reverse_prob,
         palindrome_prob=args.kubric_palindrome_prob,
         time_stretch_max=(float(getattr(args, 'rope_time_stretch', 1.0))

@@ -32,7 +32,9 @@ from tcow_tpu.data import augs as augs_lib
 from tcow_tpu.data import data_utils, vis_codec
 from tcow_tpu.data import query_sampling
 
-PREPROCESS_CACHE_VERSION = 2  # v2: uint8 rgb + packbit masks, uncompressed npz (fast IO)
+PREPROCESS_CACHE_VERSION = 3  # v3: per-key .npy dir, loaded via mmap — no zipfile CRC
+                              # pass, and the augmentation gathers touch only the pages
+                              # they read (v2 was uint8 rgb + packbit masks in one npz)
 
 
 class KubricQueryDataset:
@@ -158,27 +160,45 @@ class KubricQueryDataset:
     def _load_example_deterministic(self, scene_dp, augs_params, query_time,
                                     force_renew_cache: bool) -> Dict:
         frame_inds_load = augs_params['frame_inds_load']
-        cache_fn = (f'cc_tpu_{PREPROCESS_CACHE_VERSION}_{frame_inds_load[0]}_'
-                    f'{frame_inds_load[1]}_{frame_inds_load[-1]}.npz')
-        cache_fp = os.path.join(scene_dp, cache_fn)
+        cache_dn = (f'cc_tpu_{PREPROCESS_CACHE_VERSION}_{frame_inds_load[0]}_'
+                    f'{frame_inds_load[1]}_{frame_inds_load[-1]}')
+        cache_dp = os.path.join(scene_dp, cache_dn)
         pre = None
-        if self.use_cache and not force_renew_cache and os.path.exists(cache_fp):
+        if self.use_cache and not force_renew_cache and os.path.isdir(cache_dp):
             try:
-                with np.load(cache_fp, allow_pickle=False) as z:
-                    pre = {k: z[k] for k in z.files}
+                pre = {}
+                for fn in sorted(os.listdir(cache_dp)):
+                    if fn.endswith('.npy'):
+                        # mmap the big arrays: no read-time CRC walk (the v2 npz CRC
+                        # alone was ~10% of a warm item), and the fused gathers fault in
+                        # only the pages they touch. Consumers copy on access; `pre` is
+                        # dropped at the end of this item so maps do not accumulate.
+                        mm = 'r' if fn.startswith('pv_') else None
+                        pre[fn[:-4]] = np.load(os.path.join(cache_dp, fn),
+                                               mmap_mode=mm, allow_pickle=False)
+                if 'pv_div_packed' not in pre or 'pv_rgb_u8' not in pre:
+                    pre = None
             except Exception:
                 pre = None
         if pre is None:
             pre = self._load_example_preprocess(scene_dp, frame_inds_load)
             if self.use_cache:
+                import shutil
+                tmp = cache_dp + f'.tmp{os.getpid()}'
                 try:
-                    # NOTE: np.savez appends '.npz' when missing, so the tmp name must
-                    # already end with it or os.replace silently misses the file.
-                    tmp = cache_fp + f'.tmp{os.getpid()}.npz'
-                    np.savez(tmp, **pre)  # uncompressed: load/save is IO-bound, not CPU
-                    os.replace(tmp, cache_fp)
+                    os.makedirs(tmp, exist_ok=True)
+                    for k, v in pre.items():
+                        np.save(os.path.join(tmp, k + '.npy'), v)
+                    try:
+                        os.rename(tmp, cache_dp)  # atomic publish
+                    except OSError:
+                        # Target exists: stale/corrupt (we just failed to read it) or a
+                        # concurrent builder won the race with identical content — either
+                        # way replacing it is sound (open mmaps persist past the unlink).
+                        shutil.rmtree(cache_dp, ignore_errors=True)
+                        os.rename(tmp, cache_dp)
                 except OSError:
-                    pass
+                    shutil.rmtree(tmp, ignore_errors=True)
         item = self._load_example_augmentations(pre, augs_params, query_time)
         self._load_example_verify(item, scene_dp)
         return item
@@ -246,6 +266,7 @@ class KubricQueryDataset:
         }
 
     def _load_example_augmentations(self, pre, augs_params, query_time) -> Dict:
+        from tcow_tpu import native
         K = int(pre['num_valo_instances'])
         frame_inds_clip = augs_params['frame_inds_clip']
 
@@ -253,24 +274,56 @@ class KubricQueryDataset:
         # pipeline converts to f32/255 only at the first pixel op (jitter/blur/grayscale
         # or the resize) — identical numerics at 1/4 the copy bytes and ~Tc/Tv fewer
         # converted pixels (the full loaded video never touches float).
-        div_segm = np.unpackbits(pre['pv_div_packed'], axis=-1, count=K)  # (Tv, H, W, K)
-        modalities = {
-            'rgb': pre['pv_rgb_u8'].transpose(3, 0, 1, 2),              # (3, Tv, H, W) u8
-            'segm': pre['pv_segm'][None].astype(np.uint8),              # (1, Tv, H, W)
-            'div_segm': div_segm.transpose(3, 0, 1, 2),                 # (K, Tv, H, W)
-        }
+        modalities = {'rgb': pre['pv_rgb_u8'].transpose(3, 0, 1, 2)}    # (3, Tv, H, W) u8
+
+        # Fast path: the segm/div augmentations are pure per-axis index gathers
+        # (nearest_index_maps), so the native kernel reads the BIT-PACKED cache and emits
+        # the final augmented layouts in one pass (mask planes, the contiguous stats
+        # layout, and the W-packed rows the compact collate ships) — replacing the
+        # unpackbits -> select -> flip -> crop -> resize numpy chain (~85 MB of
+        # intermediates/item) bit-identically (tests/test_native.py).
+        Tv, H, W = pre['pv_segm'].shape
+        maps = self.augs_pipeline.nearest_index_maps(augs_params, H, W)
+        native_out = native.gather_div_bits(
+            pre['pv_div_packed'], K, *maps, want_kthw=True, want_thwk=True,
+            want_packw=(self.frame_width % 8 == 0), want_delta=True)
+        verify_counts = None
+        mask_counts = None
+        if native_out is not None:
+            div_tf, div_thwk, div_packw, div_delta = native_out         # (K,Tc,h,w), ...
+            segm_hw = native.gather_segm_i16(pre['pv_segm'], *maps)     # (Tc, h, w) i32
+            stats = native.scene_overlap_stats(segm_hw, div_thwk)
+        else:
+            div_packw = None
+            stats = None
         aug = self.augs_pipeline.apply_augs_2d_frames(modalities, augs_params)
         rgb_tf = aug['rgb']                                             # (3, Tc, Hf, Wf)
-        segm_tf = aug['segm'].astype(np.int32)                          # (1, Tc, Hf, Wf)
-        div_tf = aug['div_segm']                                        # (K, Tc, Hf, Wf)
-
-        # Recompute occlusion fractions post-augmentation (data_kubric.py:383-386).
-        occl_fracs_tf = data_utils.get_thing_occl_fracs(
-            segm_tf.transpose(1, 2, 3, 0), div_tf.transpose(1, 2, 3, 0))  # (K, Tc, 3)
+        if native_out is not None and stats is not None:
+            segm_tf = segm_hw[None]                                     # (1, Tc, Hf, Wf)
+            vis_cnt, tot_cnt, _, dv = stats
+            occl_fracs_tf = data_utils._occl_fracs_from_counts(
+                vis_cnt, tot_cnt, self.frame_height, self.frame_width)  # (K, Tc, 3)
+            # Per-instance totals for _load_example_verify, free from the same counts:
+            # vis = sum_t vis_cnt, tot = sum_t tot_cnt, overlap = sum_t dv[t, k, k].
+            verify_counts = (vis_cnt.sum(0), tot_cnt.sum(0),
+                             np.einsum('tkk->k', dv))
+            mask_counts = (tot_cnt, div_delta)
+        else:
+            div_segm = np.unpackbits(pre['pv_div_packed'], axis=-1, count=K)
+            mods2 = {
+                'segm': pre['pv_segm'][None].astype(np.uint8),          # (1, Tv, H, W)
+                'div_segm': div_segm.transpose(3, 0, 1, 2),             # (K, Tv, H, W)
+            }
+            aug2 = self.augs_pipeline.apply_augs_2d_frames(mods2, augs_params)
+            segm_tf = aug2['segm'].astype(np.int32)                     # (1, Tc, Hf, Wf)
+            div_tf = aug2['div_segm']                                   # (K, Tc, Hf, Wf)
+            # Recompute occlusion fractions post-augmentation (data_kubric.py:383-386).
+            occl_fracs_tf = data_utils.get_thing_occl_fracs(
+                segm_tf.transpose(1, 2, 3, 0), div_tf.transpose(1, 2, 3, 0))
         occl_cont_dag_tf = pre['occl_cont_dag'][frame_inds_clip]          # (Tc, K, K, 3)
 
         desirability_tf = query_sampling.get_thing_traject_desirability(
-            div_tf, occl_fracs_tf, query_time)                            # (K, 7)
+            div_tf, occl_fracs_tf, query_time, mask_counts=mask_counts)   # (K, 7)
 
         M = self.max_objects
         occl_fracs_pad, _ = data_utils.pad_div(occl_fracs_tf, [0], M)
@@ -291,6 +344,13 @@ class KubricQueryDataset:
             item_extra['blur_gray'] = np.array(
                 [bs[0] if bs else 0.0, bs[1] if bs else 0.0,
                  1.0 if augs_params.get('rgb_grayscale') else 0.0], np.float32)
+
+        if div_packw is not None:
+            # Pre-packed (K, Tc, Hf, Wf/8) rows for the compact collate (same bytes as
+            # np.packbits(div_segm, axis=-1)); collate skips its per-item packbits.
+            item_extra['div_segm_packed_w'] = div_packw
+        if verify_counts is not None:
+            item_extra['_verify_counts'] = verify_counts
 
         # np.asarray(x, dtype): no copy when the dtype already matches (astype always
         # copies — ~110 MB/item of pure memcpy on the hot loader path).
@@ -319,13 +379,20 @@ class KubricQueryDataset:
     def _load_example_verify(self, item, scene_dp):
         K = int(item['inst_count'])
         segm = item['segm']
-        div = item['div_segm']
         if segm.max() > K:
             raise ValueError(f'K={K} but pv_segm has id {segm.max()}')
+        counts = item.pop('_verify_counts', None)
         for k in range(K):
-            vis = (segm == k + 1).sum()
-            tot = (div[k] == 1).sum()
-            overlap = np.logical_and(segm == k + 1, div[k] == 1).sum()
+            if counts is not None:
+                # From the native overlap stats of the SAME augmented arrays — identical
+                # to the boolean-reduction expressions below.
+                vis, tot, overlap = (int(counts[0][k]), int(counts[1][k]),
+                                     int(counts[2][k]))
+            else:
+                div = item['div_segm']
+                vis = (segm == k + 1).sum()
+                tot = (div[k] == 1).sum()
+                overlap = np.logical_and(segm == k + 1, div[k] == 1).sum()
             if vis > 0 and tot > 0 and (overlap == 0 or vis >= tot * 1.1):
                 raise ValueError(f'Mismatch between segm and div_segm: {scene_dp} k={k} '
                                  f'vis={vis} tot={tot} overlap={overlap}')
@@ -356,7 +423,10 @@ def collate_kubric(items: List[Dict], num_queries: int, phase: str,
                            else np.clip(rgb * 255.0, 0, 255).astype(np.uint8))
         packed = np.zeros((B, M, T, H, W // 8), np.uint8)
         for b, it in enumerate(items):
-            packed[b, :it['div_segm'].shape[0]] = np.packbits(it['div_segm'], axis=-1)
+            pw = it.get('div_segm_packed_w')  # native fast path pre-packed these rows
+            if pw is None:
+                pw = np.packbits(it['div_segm'], axis=-1)
+            packed[b, :pw.shape[0]] = pw
         batch['div_segm_packed'] = packed
         batch['segm_u8'] = segm.astype(np.uint8)  # instance ids <= M = 36
     else:

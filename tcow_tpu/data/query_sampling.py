@@ -13,26 +13,39 @@ DESIRABILITY_WEIGHTS = (3.0, 4.0, 64.0, 256.0, 1.0, 16.0)
 
 
 def get_thing_traject_desirability(div_segm: np.ndarray, occl_fracs: np.ndarray,
-                                   query_time: int) -> np.ndarray:
+                                   query_time: int, shape=None,
+                                   mask_counts=None) -> np.ndarray:
     '''Per-instance query desirability from occlusion dynamics / mask motion / visibility.
 
-    :param div_segm (K, Tc, Hf, Wf) {0,1} amodal masks (post-augmentation).
+    :param div_segm (K, Tc, Hf, Wf) {0,1} amodal masks (post-augmentation); may be None
+        when mask_counts is given.
     :param occl_fracs (K, Tc, 3) float32 (f, v, t) (post-augmentation).
     :param query_time int.
+    :param shape (K, Tc, Hf, Wf) when div_segm is None.
+    :param mask_counts optional (area_tk (Tc, K) int64, delta_kt (K, Tc) int64) from the
+        native fused gather: per-frame mask pixel counts and consecutive-frame change
+        counts. Sums of 0/1 values below 2^24 are exact in f32, so the count-based means
+        are bit-identical to the array reductions (pinned by tests/test_native.py).
     :return (K, 7) float32: weighted score then the six constituents
         (avg_occl_frac, norm_total_var_mask, significance_hard, init_vis_size_hard,
         init_vis_rel_soft, init_vis_rel_hard); negative weighted => never sample.
     '''
-    K, T, H, W = div_segm.shape
+    K, T, H, W = div_segm.shape if div_segm is not None else shape
     avg_occl_frac = occl_fracs[:, :, 0].mean(axis=1)                       # (K,)
 
-    # Bool compare + f32-accumulated mean: no int16/f32 materializations of the
-    # (K, T-1, H, W) stack (~125 MB/item saved); numpy's pairwise summation over the
-    # same 0.0/1.0 values makes the mean bit-identical to the old float32-array mean.
-    delta = div_segm[:, 1:] != div_segm[:, :-1]
-    max_area = div_segm.reshape(K, T, -1).sum(axis=-1).max(axis=1) / (H * W)
-    norm_total_var = (delta.reshape(K, -1).mean(axis=1, dtype=np.float32)
-                      / (max_area + 1e-6))                                 # (K,)
+    if mask_counts is not None:
+        area_tk, delta_kt = mask_counts
+        max_area = area_tk.T.max(axis=1) / (H * W)                         # (K,) f64
+        delta_mean = (delta_kt[:, 1:].sum(axis=1).astype(np.float32)
+                      / np.float32((T - 1) * H * W))
+    else:
+        # Bool compare + f32-accumulated mean: no int16/f32 materializations of the
+        # (K, T-1, H, W) stack (~125 MB/item saved); numpy's pairwise summation over the
+        # same 0.0/1.0 values makes the mean bit-identical to the old float32-array mean.
+        delta = div_segm[:, 1:] != div_segm[:, :-1]
+        max_area = div_segm.reshape(K, T, -1).sum(axis=-1).max(axis=1) / (H * W)
+        delta_mean = delta.reshape(K, -1).mean(axis=1, dtype=np.float32)
+    norm_total_var = delta_mean / (max_area + 1e-6)                        # (K,)
 
     significance_hard = np.minimum(occl_fracs[:, :, 1].mean(axis=1) * 10000.0, 1.0) - 1.0
     init_vis_size_hard = np.minimum(occl_fracs[:, query_time, 1] * 2500.0, 1.0) - 1.0

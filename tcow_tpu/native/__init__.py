@@ -61,6 +61,15 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.paint_recon_segm.restype = None
         lib.paint_recon_segm.argtypes = [
             p(ctypes.c_uint8), p(ctypes.c_int32), i64, i64, i64, i64, p(ctypes.c_int32)]
+        lib.gather_div_bits.restype = None
+        lib.gather_div_bits.argtypes = [
+            p(ctypes.c_uint8), i64, i64, i64, i64, i64,
+            p(i64), p(i64), p(i64), i64, i64, i64,
+            p(ctypes.c_uint8), p(ctypes.c_uint8), p(ctypes.c_uint8), p(i64)]
+        lib.gather_segm_i16.restype = None
+        lib.gather_segm_i16.argtypes = [
+            p(ctypes.c_int16), i64, i64, i64,
+            p(i64), p(i64), p(i64), i64, i64, i64, p(ctypes.c_int32)]
         _lib = lib
         return _lib
 
@@ -89,6 +98,71 @@ def scene_overlap_stats(segm: np.ndarray, div: np.ndarray):
     if rc != 0:
         return None
     return vis, tot, dd, dv
+
+
+def gather_div_bits(packed: np.ndarray, K: int, t_map: np.ndarray, y_map: np.ndarray,
+                    x_map: np.ndarray, want_kthw: bool = True, want_thwk: bool = False,
+                    want_packw: bool = False, want_delta: bool = False):
+    '''Fused frame-select/flip/crop/nearest-resize gather over bit-packed amodal masks.
+
+    :param packed (Tv, H, W, KB) uint8: np.packbits(div, axis=-1) of the (Tv,H,W,K) masks.
+    :param t_map/y_map/x_map int64 index maps (len Tc/h/w) composing the augmentation.
+    :return (kthw (K,Tc,h,w) u8 | None, thwk (Tc,h,w,K) u8 | None,
+             packw (K,Tc,h,w//8) u8 | None, delta (K,Tc) i64 | None) per the want_*
+             flags, or None if the native library is unavailable (callers fall back to
+             the numpy chain). delta[:, t] counts pixels differing between consecutive
+             output frames (column 0 = 0); requires want_kthw.
+    '''
+    lib = get_lib()
+    if lib is None:
+        return None
+    Tv, H, W, KB = packed.shape
+    assert K <= KB * 8
+    assert not (want_delta and not want_kthw)
+    Tc, h, w = len(t_map), len(y_map), len(x_map)
+    packed = np.ascontiguousarray(packed)
+    t_map = np.ascontiguousarray(t_map, np.int64)
+    y_map = np.ascontiguousarray(y_map, np.int64)
+    x_map = np.ascontiguousarray(x_map, np.int64)
+    kthw = np.empty((K, Tc, h, w), np.uint8) if want_kthw else None
+    thwk = np.empty((Tc, h, w, K), np.uint8) if want_thwk else None
+    packw = None
+    if want_packw:
+        assert w % 8 == 0, w
+        packw = np.zeros((K, Tc, h, w // 8), np.uint8)  # kernel ORs set bits in
+    delta = np.zeros((K, Tc), np.int64) if want_delta else None
+    null = ctypes.POINTER(ctypes.c_uint8)()
+    lib.gather_div_bits(
+        _ptr(packed, ctypes.c_uint8), Tv, H, W, KB, K,
+        _ptr(t_map, ctypes.c_int64), _ptr(y_map, ctypes.c_int64),
+        _ptr(x_map, ctypes.c_int64), Tc, h, w,
+        _ptr(kthw, ctypes.c_uint8) if kthw is not None else null,
+        _ptr(thwk, ctypes.c_uint8) if thwk is not None else null,
+        _ptr(packw, ctypes.c_uint8) if packw is not None else null,
+        _ptr(delta, ctypes.c_int64) if delta is not None
+        else ctypes.POINTER(ctypes.c_int64)())
+    return kthw, thwk, packw, delta
+
+
+def gather_segm_i16(segm: np.ndarray, t_map: np.ndarray, y_map: np.ndarray,
+                    x_map: np.ndarray):
+    '''(Tv,H,W) int16 visible-id map -> (Tc,h,w) int32 via the composed index maps,
+    or None if unavailable.'''
+    lib = get_lib()
+    if lib is None:
+        return None
+    Tv, H, W = segm.shape
+    segm = np.ascontiguousarray(segm, np.int16)
+    t_map = np.ascontiguousarray(t_map, np.int64)
+    y_map = np.ascontiguousarray(y_map, np.int64)
+    x_map = np.ascontiguousarray(x_map, np.int64)
+    out = np.empty((len(t_map), len(y_map), len(x_map)), np.int32)
+    lib.gather_segm_i16(_ptr(segm, ctypes.c_int16), Tv, H, W,
+                        _ptr(t_map, ctypes.c_int64), _ptr(y_map, ctypes.c_int64),
+                        _ptr(x_map, ctypes.c_int64),
+                        out.shape[0], out.shape[1], out.shape[2],
+                        _ptr(out, ctypes.c_int32))
+    return out
 
 
 def paint_recon_segm(div: np.ndarray, order: np.ndarray):

@@ -76,6 +76,73 @@ int scene_overlap_stats(const int32_t* segm, const uint8_t* div,
   return 0;
 }
 
+// Fused amodal-mask augmentation gather (the hot per-item loader path).
+//
+// Replaces the numpy chain unpackbits -> frame-select -> flip -> crop -> nearest-resize
+// in tcow_tpu/data/kubric.py::_load_example_augmentations (reference behavior:
+// /root/reference/data/data_kubric.py:341-434 + augs.py:121-205), which materializes
+// ~85 MB of intermediates per item. Here the composed augmentation is three per-axis
+// index maps (computed numpy-side so they replicate the reference's exact integer
+// arithmetic, incl. cv2's one-ulp INTER_NEAREST scale expression) and ONE pass over the
+// bit-packed source emits every layout the rest of the pipeline consumes:
+//   out_kthw:  (K, Tc, h, w) uint8   -- the item's div_segm (augmented amodal masks)
+//   out_thwk:  (Tc, h, w, K) uint8   -- contiguous input for scene_overlap_stats
+//   out_packw: (K, Tc, h, w/8) uint8 -- W-packed rows for the compact collate
+//                                       (np.packbits(..., axis=-1) bit order)
+//   packed:    (Tv, H, W, KB) uint8  -- np.packbits(div, axis=-1) (K bits, MSB first)
+//   delta_cnt: (K, Tc) int64         -- column t counts pixels where frame t differs
+//                                       from frame t-1 (column 0 stays 0): the mask
+//                                       total-variation term of the query-desirability
+//                                       score (query_sampling.py) without a second pass.
+// Any of the four outputs may be null; delta_cnt requires out_kthw (it re-reads the
+// previous written frame). w must be a multiple of 8 when out_packw != null.
+void gather_div_bits(const uint8_t* packed,
+                     int64_t Tv, int64_t H, int64_t W, int64_t KB, int64_t K,
+                     const int64_t* t_map, const int64_t* y_map, const int64_t* x_map,
+                     int64_t Tc, int64_t h, int64_t w,
+                     uint8_t* out_kthw, uint8_t* out_thwk, uint8_t* out_packw,
+                     int64_t* delta_cnt) {
+  const int64_t plane = Tc * h * w;       // out_kthw per-instance plane stride
+  const int64_t wb = w / 8;
+  for (int64_t t = 0; t < Tc; ++t) {
+    const uint8_t* src_t = packed + t_map[t] * H * W * KB;
+    for (int64_t y = 0; y < h; ++y) {
+      const uint8_t* src_row = src_t + y_map[y] * W * KB;
+      uint8_t* thwk_row = out_thwk ? out_thwk + ((t * h + y) * w) * K : nullptr;
+      const int64_t kthw_off = (t * h + y) * w;
+      for (int64_t x = 0; x < w; ++x) {
+        const uint8_t* src_px = src_row + x_map[x] * KB;
+        for (int64_t k = 0; k < K; ++k) {
+          const uint8_t v = (src_px[k >> 3] >> (7 - (k & 7))) & 1;
+          if (out_kthw) {
+            uint8_t* dst = out_kthw + k * plane + kthw_off + x;
+            if (delta_cnt && t > 0 && v != dst[-h * w]) delta_cnt[k * Tc + t]++;
+            *dst = v;
+          }
+          if (thwk_row) thwk_row[x * K + k] = v;
+          if (out_packw && v)
+            out_packw[k * Tc * h * wb + (t * h + y) * wb + (x >> 3)]
+                |= (uint8_t)(1u << (7 - (x & 7)));
+        }
+      }
+    }
+  }
+}
+
+// Same composed gather for the visible-segmentation map (int16 source, int32 out).
+void gather_segm_i16(const int16_t* segm, int64_t Tv, int64_t H, int64_t W,
+                     const int64_t* t_map, const int64_t* y_map, const int64_t* x_map,
+                     int64_t Tc, int64_t h, int64_t w, int32_t* out) {
+  for (int64_t t = 0; t < Tc; ++t) {
+    const int16_t* src_t = segm + t_map[t] * H * W;
+    for (int64_t y = 0; y < h; ++y) {
+      const int16_t* src_row = src_t + y_map[y] * W;
+      int32_t* dst = out + (t * h + y) * w;
+      for (int64_t x = 0; x < w; ++x) dst[x] = (int32_t)src_row[x_map[x]];
+    }
+  }
+}
+
 // Painter's-algorithm reconstruction of the visible segmentation from amodal masks.
 //   div:   (T, H, W, K) uint8
 //   order: (T, K) int32 instance indices back-to-front

@@ -206,7 +206,7 @@ def test_kubric_cache_reuse(synth_dataset, tmp_path):
     ds = KubricQueryDataset(synth_dataset, None, 'val_noaug', num_frames=8, frame_height=32,
                             frame_width=48, num_queries=1, max_objects=6, seed=7)
     _ = ds[0]
-    caches = glob.glob(os.path.join(synth_dataset, '*', 'cc_tpu_*.npz'))
+    caches = glob.glob(os.path.join(synth_dataset, '*', 'cc_tpu_*', 'pv_rgb_u8.npy'))
     assert len(caches) >= 1
     _ = ds[0]  # second load goes through the cache path
 

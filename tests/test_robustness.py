@@ -52,17 +52,17 @@ def test_all_scenes_broken_raises(synth_root):
 def test_cache_self_heals_on_corruption(synth_root):
     ds = make_ds(synth_root)
     item1 = ds[1]
-    caches = glob.glob(os.path.join(synth_root, '*', 'cc_tpu_*.npz'))
+    caches = glob.glob(os.path.join(synth_root, '*', 'cc_tpu_*', '*.npy'))
     assert caches
     # Corrupt every cache file; loading must regenerate rather than crash.
     for fp in caches:
         with open(fp, 'wb') as f:
-            f.write(b'not an npz at all')
+            f.write(b'not an npy at all')
     item2 = ds[1]
     np.testing.assert_array_equal(item1['segm'], item2['segm'])
     # And the cache was rewritten with valid content.
-    with np.load(glob.glob(os.path.join(item2['scene_dp'], 'cc_tpu_*.npz'))[0]) as z:
-        assert 'pv_rgb_u8' in z.files
+    fp = glob.glob(os.path.join(item2['scene_dp'], 'cc_tpu_*', 'pv_rgb_u8.npy'))[0]
+    assert np.load(fp, allow_pickle=False).ndim == 4
 
 
 def test_insufficient_queries_skipcache(synth_root):
