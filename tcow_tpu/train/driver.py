@@ -220,7 +220,15 @@ def main(args, logger):
     # Optimizer + state.
     tx = optim.make_optimizer(args.optimizer, args.learn_rate, args.lr_decay,
                               args.num_epochs, steps_per_epoch, args.gradient_clip)
-    state = step_lib.init_train_state(rng, step_cfg, tx, params=params)
+    if params is None:
+        # One jitted program instead of eager per-leaf init: over the axon relay every
+        # eager op is a round-trip (+ a remote compile on first use), which made the
+        # 122M-param + AdamW-moment init take ~10 minutes; jitted it is one compile +
+        # one dispatch (~30 s cold). Identical values — JAX PRNG results don't depend
+        # on jit.
+        state = jax.jit(lambda r: step_lib.init_train_state(r, step_cfg, tx))(rng)
+    else:
+        state = step_lib.init_train_state(rng, step_cfg, tx, params=params)
 
     start_epoch = 0
     start_step = 0   # mid-epoch resume point (preemption checkpoints)
@@ -336,11 +344,29 @@ def main(args, logger):
     else:
         stop_event = None   # feature off: no per-step checks/broadcasts in the step loop
 
+    def boundary_stop() -> bool:
+        '''Epoch-boundary preemption check. Must be COLLECTIVE under multi-host (same
+        fixed call points on every process): process 0's SIGTERM can land OUTSIDE the
+        step loop (during a checkpoint save or a val phase, where the per-step
+        check_stop broadcast isn't running) — a process-local check would then let the
+        other processes enter the next epoch's collectives against an exited process 0
+        and hang on DCN.'''
+        if stop_event is None:
+            return False
+        stop = stop_event.is_set()
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            stop = bool(multihost_utils.broadcast_one_to_all(
+                np.int32(stop if jax.process_index() == 0 else 0)))
+            if stop:
+                stop_event.set()   # align subsequent local checks on every process
+        return stop
+
     total_steps_all = args.num_epochs * steps_per_epoch
     try:
         with jax.set_mesh(mesh):
             for epoch in range(start_epoch, args.num_epochs):
-                if stop_event is not None and stop_event.is_set():
+                if boundary_stop():
                     # signal landed during a val phase
                     logger.warning(f'Preempted: exiting before epoch {epoch}.')
                     break
@@ -371,7 +397,7 @@ def main(args, logger):
                     break
                 checkpoint_fn(epoch, final=(epoch == args.num_epochs - 1))
                 logger.epoch_finished(epoch)
-                if stop_event is not None and stop_event.is_set():
+                if boundary_stop():
                     logger.warning(f'Preempted: exiting after completed epoch {epoch}.')
                     break
                 if epoch % args.val_every == 0:
