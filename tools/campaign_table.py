@@ -23,7 +23,8 @@ def parse_eval_log(path):
     out = {}
     text = open(path, errors='replace').read()
     for fam in FAMILIES:
-        m = re.findall(rf'weighted_mean_{fam} \(over (\d+) frames\):\s*([0-9.nan]+)', text)
+        m = re.findall(rf'(?<!un)weighted_mean_{fam} \(over (\d+) frames\):\s*([0-9.nan]+)',
+                       text)
         if m:
             out[fam] = (float(m[-1][1]), int(m[-1][0]))
     return out
@@ -41,18 +42,19 @@ def main():
     p.add_argument('--name', default='rich256')
     a = p.parse_args()
 
+    # The eval CLI writes its unwrapped log under the RUN's log dir:
+    # <logs>/<name>/test_e_<name>_c<chunk>_e<epoch>/<same>.log (utils/logvis.py); the
+    # console capture (<name>.eval_c*.log) is width-wrapped by rich and unparseable.
     rows = []
-    for path in sorted(glob.glob(os.path.join(a.logs, f'{a.name}.eval_c*.log')),
-                       key=lambda s: int(re.search(r'_c(\d+)\.log$', s).group(1))):
-        chunk = int(re.search(r'_c(\d+)\.log$', path).group(1))
+    pat = os.path.join(a.logs, a.name, f'test_e_{a.name}_c*_e*', '*.log')
+    def key(path):
+        m = re.search(r'_c(\d+)_e(\d+)', path)
+        return (int(m.group(2)), int(m.group(1)))
+    for path in sorted(glob.glob(pat), key=key):
+        chunk, epoch = key(path)[1], key(path)[0]
         fams = parse_eval_log(path)
         if fams:
-            rows.append((f'chunk {chunk}', fams))
-    # Also accept explicit standalone eval logs (final eval, stream eval cross-checks).
-    for path in sorted(glob.glob(os.path.join(a.logs, f'{a.name}.eval_final*.log'))):
-        fams = parse_eval_log(path)
-        if fams:
-            rows.append(('final', fams))
+            rows.append((f'chunk {chunk} (epoch {epoch})', fams))
 
     hdr = '| point | ' + ' | '.join(f.replace('_iou', '') for f in FAMILIES) + ' |'
     print(hdr)
