@@ -225,6 +225,14 @@ def test_args(argv=None):
 
 def verify_args(args, is_train: bool = False):
     '''Post-parse derivation, mirroring args.py:262-335.'''
+    if is_train and args.resume != '' and args.name == '':
+        # Continue the SAME experiment. The reference requires an explicit --name next to
+        # --resume (args.py:291-316 only resolves resume under a non-empty name; its
+        # documented usage is bootstrap-into-a-new-name, '--resume v3 --name dbg4').
+        # Without this default, `train.py --resume X` skips resume resolution entirely and
+        # the driver crashes on np.load('X'); resuming under the resumed run's own name is
+        # the only sensible reading of that command line.
+        args.name = args.resume
     args.is_debug = args.name.startswith('d')
     args.wandb_group = ('train' if is_train else 'test') + \
                        ('_debug' if args.is_debug else '')

@@ -63,6 +63,21 @@ def test_verify_args_derivations(tmp_path):
     assert args2.wandb_group == 'train'
 
 
+def test_train_resume_without_name_continues_same_experiment(tmp_path):
+    # `train.py --resume X` (no --name) continues experiment X: the name defaults to the
+    # resumed run so resume resolution happens (the reference leaves args.resume as the
+    # bare tag in this case, and the driver would crash opening it as a path).
+    croot, lroot = tmp_path / 'c', tmp_path / 'l'
+    (croot / 'v1').mkdir(parents=True)
+    (croot / 'v1' / 'checkpoint.npz').write_bytes(b'')
+    args = config_lib.train_args([
+        '--data_path', '/tmp', '--resume', 'v1',
+        '--checkpoint_root', str(croot), '--log_root', str(lroot)])
+    assert args.name == 'v1'
+    assert args.resume == str(croot / 'v1' / 'checkpoint.npz')
+    assert args.checkpoint_path == str(croot / 'v1')
+
+
 def test_test_args_batch_follows_device_batch():
     # The reference forces test batch_size to 1 (args.py:276 — a torch-memory artifact).
     # Here K clips share one device step; --batch_size is overridden by
