@@ -125,6 +125,12 @@ def train_args(argv=None):
                              'the bytes); the full resumable state (optimizer/rng/step) is '
                              'still written every checkpoint_every epochs and at the end. '
                              'Resuming from a light checkpoint reinitializes the optimizer.')
+    parser.add_argument('--allow_opt_reinit', default=False, type=_str2bool,
+                        help='Permit resuming training from a checkpoint WITHOUT optimizer '
+                             'state (a --checkpoint_light save or a torch .pth), silently '
+                             'reinitializing the AdamW moments/LR step. Off by default: '
+                             'the driver instead falls back to the newest full-state '
+                             'model_{e}.npz snapshot in the same directory, or refuses.')
     parser.add_argument('--learn_rate', default=1e-4, type=float)
     parser.add_argument('--lr_decay', default=0.3, type=float)
     parser.add_argument('--do_val_aug', default=True, type=_str2bool)
@@ -231,8 +237,15 @@ def verify_args(args, is_train: bool = False):
         # documented usage is bootstrap-into-a-new-name, '--resume v3 --name dbg4').
         # Without this default, `train.py --resume X` skips resume resolution entirely and
         # the driver crashes on np.load('X'); resuming under the resumed run's own name is
-        # the only sensible reading of that command line.
-        args.name = args.resume
+        # the only sensible reading of that command line. When --resume is a checkpoint
+        # FILE path, the experiment name is the parent directory's basename (mirroring
+        # the is_train=False branch below) — the raw file path would make
+        # checkpoint_path/train_log_path point AT the file and makedirs would raise.
+        if os.path.isfile(args.resume):
+            args.name = os.path.basename(os.path.dirname(os.path.abspath(
+                args.resume))) or 'resume'
+        else:
+            args.name = args.resume
     args.is_debug = args.name.startswith('d')
     args.wandb_group = ('train' if is_train else 'test') + \
                        ('_debug' if args.is_debug else '')

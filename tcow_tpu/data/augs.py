@@ -25,8 +25,7 @@ import numpy as np
 def _rgb_to_gray(img: np.ndarray) -> np.ndarray:
     '''(..., 3, H, W) -> (..., 1, H, W), ITU-R 601 weights like torchvision.'''
     w = np.array([0.299, 0.587, 0.114], img.dtype)
-    return np.tensordot(w, img, axes=([0], [img.ndim - 3]))[..., None, :, :] \
-        if False else np.einsum('c,...chw->...hw', w, img)[..., None, :, :]
+    return np.einsum('c,...chw->...hw', w, img)[..., None, :, :]
 
 
 def _blend(a, b, factor):

@@ -45,7 +45,8 @@ def _moving_rects(rng: np.random.RandomState, T: int, H: int, W: int, K: int,
 
 
 def _apply_rich_events(rng: np.random.RandomState, T: int, H: int, W: int, K: int,
-                       div: np.ndarray, centers: np.ndarray, sizes: np.ndarray):
+                       div: np.ndarray, centers: np.ndarray, sizes: np.ndarray,
+                       cont_episodes: int = 0):
     '''Scripted occlusion + containment episodes on top of the random rect motion.
 
     Instance 0 is the "snitch" (small); instance K-2 a large occluder, K-1 a large
@@ -75,18 +76,31 @@ def _apply_rich_events(rng: np.random.RandomState, T: int, H: int, W: int, K: in
         div[0, t, y0:y1, x0:x1] = 1
         centers[0, t] = (int(cy), int(cx))
 
-    # Random non-overlapping spans: [occl episode][gap][containment episode], each
-    # present with high probability and bracketed by visible frames at both clip ends.
+    # Random non-overlapping spans, each present with high probability and bracketed by
+    # visible frames at both clip ends. Default (cont_episodes=0, the round-3/4 rich
+    # datasets): [occl episode][gap][containment episode]. cont_episodes=N>0 is the
+    # containment-HEAVY variant (VERDICT r4 task 1 data axis: ~1 containment episode per
+    # scene was memorized, not generalized): 1 occl slot + N containment slots partition
+    # the usable range, so a 40-frame scene carries several independent containment
+    # events with distinct spans/trajectories.
     spans = []
     lo = max(1, int(T * 0.1))
     hi = max(lo + 2, int(T * 0.9))
-    mid = rng.randint(lo + 1, hi - 1) if hi - lo > 2 else (lo + hi) // 2
-    if rng.rand() < 0.85 and mid - lo >= 2:
-        a = rng.randint(lo, mid - 1)
-        spans.append(('occl', a, rng.randint(a + 1, mid)))
-    if rng.rand() < 0.85 and hi - mid >= 2:
-        a = rng.randint(mid, hi - 1)
-        spans.append(('cont', a, rng.randint(a + 1, hi)))
+    if cont_episodes > 0:
+        bounds = np.linspace(lo, hi, 2 + cont_episodes).astype(int)
+        for i in range(1 + cont_episodes):
+            a0, a1 = int(bounds[i]), int(bounds[i + 1]) - 1   # gap frame between slots
+            if a1 - a0 >= 2 and rng.rand() < 0.9:
+                a = rng.randint(a0, a1 - 1)
+                spans.append(('occl' if i == 0 else 'cont', a, rng.randint(a + 1, a1)))
+    else:
+        mid = rng.randint(lo + 1, hi - 1) if hi - lo > 2 else (lo + hi) // 2
+        if rng.rand() < 0.85 and mid - lo >= 2:
+            a = rng.randint(lo, mid - 1)
+            spans.append(('occl', a, rng.randint(a + 1, mid)))
+        if rng.rand() < 0.85 and hi - mid >= 2:
+            a = rng.randint(mid, hi - 1)
+            spans.append(('cont', a, rng.randint(a + 1, hi)))
     for kind, t0, t1 in spans:
         host = occluder if kind == 'occl' else container
         for t in range(t0, t1 + 1):
@@ -99,8 +113,8 @@ def _apply_rich_events(rng: np.random.RandomState, T: int, H: int, W: int, K: in
 
 
 def make_synthetic_scene_arrays(seed: int, T: int = 8, H: int = 64, W: int = 64,
-                                K: int = 4, rich_events: bool = False
-                                ) -> Dict[str, np.ndarray]:
+                                K: int = 4, rich_events: bool = False,
+                                cont_episodes: int = 0) -> Dict[str, np.ndarray]:
     '''Builds consistent (rgb, segm, div_segm) arrays: visible segm is the front-most
     instance at each pixel (higher index = closer to camera). rich_events=True adds
     scripted full-occlusion and containment episodes (see _apply_rich_events).'''
@@ -115,7 +129,8 @@ def make_synthetic_scene_arrays(seed: int, T: int = 8, H: int = 64, W: int = 64,
     z_pos = bbox_half = None
     if rich_events:
         div, centers, z_pos, bbox_half = _apply_rich_events(rng, T, H, W, K, div,
-                                                            centers, sizes)
+                                                            centers, sizes,
+                                                            cont_episodes=cont_episodes)
     segm = np.zeros((T, H, W), np.int32)
     for k in range(K):  # ascending: later (nearer) instances overwrite
         segm[div[k] == 1] = k + 1
@@ -170,7 +185,8 @@ def synthetic_device_batch(seed: int, B: int = 2, Q: int = 2, T: int = 8, H: int
 
 def write_synthetic_kubric_scene(scene_dp: str, seed: int, T: int = 12, H: int = 64,
                                  W: int = 96, K: int = 4,
-                                 rich_events: bool = False) -> None:
+                                 rich_events: bool = False,
+                                 cont_episodes: int = 0) -> None:
     '''Writes one scene directory in the reference export layout (kubric_sim.py:702-714):
       <scene>/frames/rgba_00000.png ...
       <scene>/frames/segmentation_00000.png (hue-palette instance colors)
@@ -182,7 +198,8 @@ def write_synthetic_kubric_scene(scene_dp: str, seed: int, T: int = 12, H: int =
     name = os.path.basename(scene_dp.rstrip('/'))
     frames_dp = os.path.join(scene_dp, 'frames')
     os.makedirs(frames_dp, exist_ok=True)
-    scene = make_synthetic_scene_arrays(seed, T, H, W, K, rich_events=rich_events)
+    scene = make_synthetic_scene_arrays(seed, T, H, W, K, rich_events=rich_events,
+                                        cont_episodes=cont_episodes)
     rng = np.random.RandomState(seed + 1)
 
     for t in range(T):
@@ -256,7 +273,14 @@ if __name__ == '__main__':
                         help='scripted full-occlusion + containment episodes so the '
                              'occl/cont supervision channels and the during_occl/'
                              'during_cont metric families are populated')
+    parser.add_argument('--rich_cont_episodes', type=int, default=0,
+                        help='with --rich: containment-heavy scheduling — 1 occlusion '
+                             'slot + N independent containment episodes per scene '
+                             '(default 0 keeps the legacy 1-occl + 1-cont layout and its '
+                             'exact RNG stream, so existing datasets regenerate '
+                             'bit-identically)')
     a = parser.parse_args()
     write_synthetic_kubric_dataset(a.out, a.num_scenes, a.seed, T=a.frames, H=a.height,
-                                   W=a.width, K=a.objects, rich_events=a.rich)
+                                   W=a.width, K=a.objects, rich_events=a.rich,
+                                   cont_episodes=a.rich_cont_episodes)
     print(f'Wrote {a.num_scenes} synthetic scenes to {a.out}')

@@ -169,6 +169,39 @@ def _nest_from_keystrs(flat: Dict[str, np.ndarray]):
     return intify(root)
 
 
+def peek_meta(path: str) -> Dict[str, Any]:
+    '''Reads ONLY the embedded __meta__ JSON (and whether optimizer state is present)
+    from a .npz checkpoint — np.load is lazy, so this costs one small zip member, not
+    the full (up to 1.5 GB) payload. Returns the meta dict plus 'opt_restored'.'''
+    with np.load(path) as z:
+        meta = json.loads(bytes(np.asarray(z['__meta__'])).decode())
+        meta['opt_restored'] = any(k.startswith('opt_state') for k in z.files)
+    return meta
+
+
+def find_full_snapshot(checkpoint_path: str) -> Optional[str]:
+    '''Newest FULL-state model_{e}.npz snapshot in checkpoint_path's directory (highest
+    epoch whose payload carries optimizer state), or None. Used when the latest
+    checkpoint.npz is a --checkpoint_light params-only save: resuming training from it
+    would silently reinitialize the AdamW moments, so the driver falls back to the last
+    full snapshot instead (VERDICT r4 task 3).'''
+    import glob
+    import re
+    d = os.path.dirname(os.path.abspath(checkpoint_path))
+    cands = []
+    for p in glob.glob(os.path.join(d, 'model_*.npz')):
+        m = re.fullmatch(r'model_(-?\d+)\.npz', os.path.basename(p))
+        if m:
+            cands.append((int(m.group(1)), p))
+    for _, p in sorted(cands, reverse=True):
+        try:
+            if peek_meta(p).get('opt_restored'):
+                return p
+        except Exception:
+            continue
+    return None
+
+
 def resolve_resume_path(checkpoint_root: str, resume: str, epoch: int = -1) -> str:
     '''--resume <name> resolution (args.py:293-298), preferring .npz but accepting the
     reference's .pth files for cross-framework loading.'''

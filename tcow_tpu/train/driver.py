@@ -232,17 +232,38 @@ def main(args, logger):
 
     start_epoch = 0
     start_step = 0   # mid-epoch resume point (preemption checkpoints)
+    allow_opt_reinit = bool(getattr(args, 'allow_opt_reinit', False))
     if args.resume:
-        logger.info('Loading weights from: ' + args.resume)
         if args.resume.endswith('.pth'):
+            if not allow_opt_reinit:
+                raise ValueError(
+                    'Resuming training from a torch .pth checkpoint reinitializes the '
+                    'optimizer/LR-schedule state (cross-framework resume cannot translate '
+                    'torch optimizer state). Pass --allow_opt_reinit 1 to accept that.')
+            logger.info('Loading weights from: ' + args.resume)
             from tcow_tpu.models import torch_import
             p, _, ckpt = torch_import.load_tcow_checkpoint(args.resume)
             state = state._replace(params=p)
             start_epoch = int(ckpt.get('epoch', -1)) + 1
             logger.warning('Resuming from a torch .pth checkpoint: parameters restored, '
-                           'but optimizer/LR-schedule state is REINITIALIZED (cross-'
-                           'framework resume cannot translate torch optimizer state).')
+                           'optimizer/LR-schedule state REINITIALIZED (--allow_opt_reinit).')
         else:
+            # A --checkpoint_light latest save carries no optimizer state; training on
+            # from it would silently reset the AdamW moments (VERDICT r4 task 3). Fall
+            # back to the newest FULL model_{e}.npz in the same directory, or refuse.
+            if not ckpt_lib.peek_meta(args.resume).get('opt_restored') \
+                    and not allow_opt_reinit:
+                alt = ckpt_lib.find_full_snapshot(args.resume)
+                if alt is None:
+                    raise ValueError(
+                        f'{args.resume} is a params-only (--checkpoint_light) checkpoint '
+                        'and no full-state model_{e}.npz snapshot exists beside it. Pass '
+                        '--allow_opt_reinit 1 to resume anyway with a fresh optimizer.')
+                logger.warning(f'{args.resume} is params-only (--checkpoint_light); '
+                               f'resuming from the newest FULL snapshot {alt} instead '
+                               '(pass --allow_opt_reinit 1 to use the light one).')
+                args.resume = alt
+            logger.info('Loading weights from: ' + args.resume)
             loaded = ckpt_lib.load_checkpoint(args.resume, state_template=state)
             state = loaded['state']
             if loaded.get('partial'):
@@ -258,7 +279,8 @@ def main(args, logger):
                 start_epoch = int(loaded['epoch']) + 1
             if not loaded.get('opt_restored', True):
                 logger.warning('Resuming from a params-only (--checkpoint_light) '
-                               'checkpoint: optimizer/LR-schedule state is REINITIALIZED.')
+                               'checkpoint: optimizer/LR-schedule state is REINITIALIZED '
+                               '(--allow_opt_reinit).')
 
     grad_accum = max(1, int(getattr(args, 'grad_accum', 1)))
     if grad_accum > 1 and args.batch_size % grad_accum != 0:
@@ -269,9 +291,14 @@ def main(args, logger):
                          donate_argnums=(0,))
     eval_step = jax.jit(step_lib.make_eval_step(step_cfg))
     vis_step = jax.jit(step_lib.make_vis_step(step_cfg))
-    state = mesh_lib.shard_state(state, mesh,
-                                 tensor_parallel=cfg.model_axis is not None,
-                                 pipeline=cfg.pipe_axis is not None)
+    # Staged placement: checkpoint-loaded (host numpy) states go up in bounded slabs
+    # with link-health probes between them — the single-shot 1.47 GB upload reliably
+    # wedged the axon relay (NEXT.md round-4 OPERATIONAL). Device-resident leaves
+    # (fresh init) pass through unpaced.
+    state = mesh_lib.shard_state_staged(state, mesh,
+                                        tensor_parallel=cfg.model_axis is not None,
+                                        pipeline=cfg.pipe_axis is not None,
+                                        logger=logger)
 
     ckpt_thread = [None]
 

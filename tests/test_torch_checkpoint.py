@@ -111,7 +111,7 @@ def test_train_bootstrap_from_pth(reference_pth, tmp_path):
         '--frame_height', '32', '--frame_width', '48', '--kubric_max_delay', '2',
         '--num_epochs', '6', '--do_val_aug', '0', '--tracker_pretrained', '0',
         '--network_depth', '12', '--num_workers', '1', '--compute_dtype', 'float32',
-        '--seed', '4'])
+        '--seed', '4', '--allow_opt_reinit', '1'])
     logger = MyLogger(args, context='train')
     state = driver.main(args, logger)
     # Resumed at epoch 5 (ckpt epoch 4 + 1): only one epoch of steps ran.

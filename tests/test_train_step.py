@@ -168,6 +168,50 @@ def test_checkpoint_light_roundtrip(small_model, tmp_path):
     assert loaded2['opt_restored'] is True and loaded2['light'] is False
 
 
+def test_peek_meta_and_full_snapshot_fallback(small_model, tmp_path):
+    '''peek_meta reads only the embedded meta (cheap, lazy zip member); find_full_snapshot
+    returns the newest model_{e}.npz that carries optimizer state, skipping light ones —
+    the driver's wedge-proof resume fallback (VERDICT r4 task 3).'''
+    cfg, tx, state = make_cfg_and_state()
+    d = str(tmp_path / 'ckpt')
+    # Full save at epoch 2 -> model_2.npz snapshot with opt state.
+    ckpt_lib.save_checkpoint(d, epoch=2, name='u', params=state.params,
+                             opt_state=state.opt_state, rng=state.rng, step=state.step)
+    # LIGHT save at epoch 4 -> light checkpoint.npz AND a light model_4.npz snapshot.
+    ckpt_lib.save_checkpoint(d, epoch=4, name='u', params=state.params,
+                             opt_state=None, rng=None, step=None)
+    main = os.path.join(d, 'checkpoint.npz')
+    meta = ckpt_lib.peek_meta(main)
+    assert meta['light'] is True and meta['opt_restored'] is False and meta['epoch'] == 4
+    assert ckpt_lib.peek_meta(os.path.join(d, 'model_2.npz'))['opt_restored'] is True
+    # Fallback must pick model_2 (full), not the newer but light model_4.
+    assert ckpt_lib.find_full_snapshot(main) == os.path.join(d, 'model_2.npz')
+    os.remove(os.path.join(d, 'model_2.npz'))
+    assert ckpt_lib.find_full_snapshot(main) is None
+
+
+def test_shard_state_staged_matches_shard_state(small_model):
+    '''Staged (slab + probe paced) placement produces the same tree/values/shardings as
+    the single-shot shard_state; tiny slab_bytes forces multiple probe boundaries.'''
+    from tcow_tpu.parallel import mesh as mesh_lib
+    cfg, tx, state = make_cfg_and_state()
+    host_state = jax.device_get(state)   # checkpoint-loaded states are host numpy
+    mesh = mesh_lib.make_mesh()
+    ref = mesh_lib.shard_state(state, mesh)
+    staged = mesh_lib.shard_state_staged(host_state, mesh, slab_bytes=1 << 12)
+    for a, b in zip(jax.tree_util.tree_leaves(ref, is_leaf=lambda x: x is None),
+                    jax.tree_util.tree_leaves(staged, is_leaf=lambda x: x is None)):
+        if a is None:
+            assert b is None
+            continue
+        if jax.dtypes.issubdtype(a.dtype, jax.dtypes.prng_key):
+            np.testing.assert_array_equal(np.asarray(jax.random.key_data(a)),
+                                          np.asarray(jax.random.key_data(b)))
+        else:
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+            assert b.sharding == a.sharding, (a.sharding, b.sharding)
+
+
 def test_multistep_schedule():
     sched = optim.multistep_schedule(1e-4, 0.3, num_epochs=70, steps_per_epoch=10)
     assert np.isclose(sched(0), 1e-4)

@@ -7,7 +7,10 @@ lines (evaluation/test_driver.py:165 — global frame-weighted means, the refere
 primary aggregation, /root/reference/eval/metrics.py:86-103) plus the train log's
 per-epoch trajectory, and prints the table that goes into BASELINE.md.
 
-Usage: python tools/campaign_table.py --logs /tmp/rich_logs --name rich256
+Usage: python tools/campaign_table.py [--logs /tmp/rich_logs] --name rich256
+The default --logs is the IN-REPO archive docs/campaign_r4/ (scalars.jsonl + train.log +
+per-chunk eval logs/CSVs, copied verbatim from the campaign's log root minus the video
+artifacts), so the BASELINE.md table regenerates from committed evidence.
 '''
 
 import argparse
@@ -38,7 +41,9 @@ def last_epoch(train_log):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument('--logs', default='/tmp/rich_logs')
+    p.add_argument('--logs',
+                   default=os.path.join(os.path.dirname(__file__), '..', 'docs',
+                                        'campaign_r4'))
     p.add_argument('--name', default='rich256')
     a = p.parse_args()
 
@@ -47,11 +52,17 @@ def main():
     # console capture (<name>.eval_c*.log) is width-wrapped by rich and unparseable.
     rows = []
     pat = os.path.join(a.logs, a.name, f'test_e_{a.name}_c*_e*', '*.log')
+
     def key(path):
-        m = re.search(r'_c(\d+)_e(\d+)', path)
-        return (int(m.group(2)), int(m.group(1)))
-    for path in sorted(glob.glob(pat), key=key):
-        chunk, epoch = key(path)[1], key(path)[0]
+        # Anchor on the eval directory name (not the full path): a run --name that itself
+        # contains a _c<d>_e<d> token, or a stray non-matching .log, must not mislabel or
+        # crash the sort.
+        m = re.search(rf'test_e_{re.escape(a.name)}_c(\d+)_e(\d+)',
+                      os.path.basename(os.path.dirname(path)))
+        return (int(m.group(2)), int(m.group(1))) if m else None
+
+    for path in sorted((p for p in glob.glob(pat) if key(p) is not None), key=key):
+        epoch, chunk = key(path)
         fams = parse_eval_log(path)
         if fams:
             rows.append((f'chunk {chunk} (epoch {epoch})', fams))
