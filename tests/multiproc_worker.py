@@ -16,6 +16,10 @@ Modes:
            device list is permuted so each (data row, pipe stage) pair spans two
            different processes — the GPipe stage handoffs become real cross-process
            collectives (the DCN path of a pod run), not local transfers.
+  ppm      same cross-process pipe topology, but with the MANUAL pipe schedule
+           (--pp_manual, timesformer._manual_pipe_scan): the explicit shard_map +
+           ppermute stage handoff rides the process boundary — the exact transfer a
+           pod's DCN stresses (VERDICT r4 task 5; the GSPMD path is `pp` above).
   driver   runs the REAL train CLI (train.main) with --multihost 1 on a shared synthetic
            dataset: argv[5] = comma-separated extra args ('--k=v,...'), coordinator
            injected by monkeypatching jax.distributed.initialize. Exercises per-step
@@ -72,7 +76,8 @@ def main():
     port, pid, nproc = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
     mode = sys.argv[4] if len(sys.argv) > 4 else ''
     tp = mode == 'tp'
-    pp = mode == 'pp'
+    pp = mode in ('pp', 'ppm')
+    ppm = mode == 'ppm'
     if mode == 'driver':
         return driver_main(port, pid, nproc, sys.argv[5])
     os.environ['JAX_PLATFORMS'] = 'cpu'
@@ -105,7 +110,8 @@ def main():
                           model_axis=mesh_lib.MODEL_AXIS if tp else None,
                           pipe_axis=mesh_lib.PIPE_AXIS if pp else None,
                           pp_stages=2 if pp else 1,
-                          pp_microbatches=2 if pp else 0)
+                          pp_microbatches=2 if pp else 0,
+                          pp_manual=ppm)
     cfg = step_lib.StepConfig(seeker=seeker, loss=LossConfig(), num_queries=2)
     tx = optim.make_optimizer('adamw', learn_rate=1e-4, num_epochs=10, steps_per_epoch=10)
     state = step_lib.init_train_state(jax.random.key(0), cfg, tx)  # same seed everywhere

@@ -113,6 +113,30 @@ def test_desirability_penalizes_invisible():
     assert d[1, 0] < 0  # hard penalties dominate
 
 
+def test_rich_cont_episodes_scheduling():
+    '''--rich_cont_episodes N schedules multiple INDEPENDENT containment episodes per
+    scene (VERDICT r4 task 1 data axis): nested-z spans (the containment marker the
+    metadata exporter turns into OBB-nested boxes) occur as >=2 disjoint runs in most
+    scenes, while the legacy layout (cont_episodes=0) never exceeds one.'''
+    T, K = 40, 6
+
+    def n_runs(mask):
+        m = np.asarray(mask, np.int8)
+        return int((np.diff(np.concatenate([[0], m])) == 1).sum())
+
+    multi = 0
+    for seed in range(20):
+        out = synthetic.make_synthetic_scene_arrays(seed, T=T, H=64, W=96, K=K,
+                                                    rich_events=True, cont_episodes=3)
+        r = n_runs(out['z_pos'][0] != 0)
+        assert r <= 3
+        multi += (r >= 2)
+        legacy = synthetic.make_synthetic_scene_arrays(seed, T=T, H=64, W=96, K=K,
+                                                       rich_events=True)
+        assert n_runs(legacy['z_pos'][0] != 0) <= 1
+    assert multi >= 12, f'only {multi}/20 cont-heavy scenes had >=2 containment episodes'
+
+
 @pytest.fixture(scope='module')
 def synth_dataset(tmp_path_factory):
     root = tmp_path_factory.mktemp('kub')

@@ -214,6 +214,21 @@ def test_pipe_axis_crosses_process_boundary():
     assert abs(losses[0] - oracle) < 5e-5, (losses, oracle)
 
 
+def test_manual_pipe_crosses_process_boundary():
+    '''Same cross-process pipe topology as above, but with the MANUAL schedule
+    (--pp_manual, timesformer._manual_pipe_scan): the explicit shard_map + ppermute
+    stage handoff crosses a REAL process boundary (gRPC standing in for a pod's DCN),
+    not just the single-process virtual mesh of tests/test_manual_pipe.py. The loss
+    must match the plain-DP single-process oracle (VERDICT r4 task 5).'''
+    outs = _run_workers(mode=('ppm',), nproc=2, timeout=600)
+    losses = _parse(outs, 'LOSS')
+    assert np.isfinite(losses).all(), losses
+    assert abs(losses[0] - losses[1]) < 1e-7, losses
+
+    oracle = _single_process_oracle(B=4)
+    assert abs(losses[0] - oracle) < 5e-5, (losses, oracle)
+
+
 def test_two_process_tensor_parallel_and_checkpoint_gather():
     '''(data=2 processes, model=2 local devices) mesh: TP weights sharded across real
     process boundaries; the train step must match the plain-DP single-process oracle and
