@@ -202,17 +202,19 @@ def write_synthetic_kubric_scene(scene_dp: str, seed: int, T: int = 12, H: int =
                                         cont_episodes=cont_episodes)
     rng = np.random.RandomState(seed + 1)
 
-    for t in range(T):
+    fast_png = [cv2.IMWRITE_PNG_COMPRESSION, 1]   # lossless; the per-pixel noise makes
+    for t in range(T):                            # higher zlib effort very slow on 1 core
         rgba = (np.concatenate([scene['rgb'][t],
                                 np.ones((H, W, 1), np.float32)], axis=-1) * 255).astype(np.uint8)
-        cv2.imwrite(os.path.join(frames_dp, f'rgba_{t:05d}.png'), rgba[..., [2, 1, 0, 3]])
+        cv2.imwrite(os.path.join(frames_dp, f'rgba_{t:05d}.png'), rgba[..., [2, 1, 0, 3]],
+                    fast_png)
         segm_rgb = vis_codec.segm_ids_to_rgb_kubric(scene['segm'][t], K)
         cv2.imwrite(os.path.join(frames_dp, f'segmentation_{t:05d}.png'),
-                    (segm_rgb * 255).astype(np.uint8)[..., ::-1])
+                    (segm_rgb * 255).astype(np.uint8)[..., ::-1], fast_png)
         for k in range(K):
             mask = (scene['div_segm'][k, t] * 255).astype(np.uint8)
             cv2.imwrite(os.path.join(frames_dp, f'divided_segmentation_{k:03d}_{t:05d}.png'),
-                        mask)
+                        mask, fast_png)
         # Depth as uint16 tiff-style png (loader tolerates absence; keep minimal).
 
     # Metadata: camera at z=10 looking down; depth z = k so larger k is closer to the
