@@ -25,8 +25,16 @@ import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# --device cpu must take effect before jax import (the env pins JAX_PLATFORMS=axon).
+if '--device=cpu' in sys.argv or ('--device' in sys.argv and
+                                  sys.argv[sys.argv.index('--device') + 1] == 'cpu'):
+    os.environ['JAX_PLATFORMS'] = 'cpu'
+
 import jax
 import jax.numpy as jnp
+
+if os.environ.get('JAX_PLATFORMS') == 'cpu':
+    jax.config.update('jax_platforms', 'cpu')
 
 from tcow_tpu.data.synthetic import synthetic_device_batch
 from tcow_tpu.models.mask_tracker import SeekerConfig
@@ -46,11 +54,14 @@ DEFAULT_LADDER = [
 
 
 def try_geom(depth, B, Q, T, H, W, accum, steps=3):
+    on_tpu = jax.default_backend() == 'tpu'   # CPU wiring test: XLA attention path
     seeker = SeekerConfig(num_total_frames=T, frame_height=H, frame_width=W,
                           causal_attention=1, drop_path_rate=0.1, network_depth=depth,
-                          compute_dtype=jnp.bfloat16, remat=True,
-                          remat_policy='dots_nb_out', use_pallas_attention=True,
-                          attention_bwd='kernel_x')
+                          compute_dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+                          remat=True,
+                          remat_policy='dots_nb_out' if on_tpu else 'dots_nb',
+                          use_pallas_attention=on_tpu,
+                          attention_bwd='kernel_x' if on_tpu else 'res')
     cfg = step_lib.StepConfig(seeker=seeker, loss=LossConfig(), num_queries=Q)
     tx = optim.make_optimizer('adamw', 1e-4, num_epochs=70, steps_per_epoch=1000)
     state = jax.jit(lambda r: step_lib.init_train_state(r, cfg, tx))(jax.random.key(0))
@@ -78,6 +89,7 @@ def main():
                    help='semicolon-separated depth,B,Q,T,H,W,accum tuples '
                         '(default: the built-in ladder)')
     p.add_argument('--steps', type=int, default=3)
+    p.add_argument('--device', default='', help="'cpu' forces the CPU backend (wiring test)")
     a = p.parse_args()
     ladder = DEFAULT_LADDER
     if a.geoms:
