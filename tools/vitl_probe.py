@@ -53,13 +53,14 @@ DEFAULT_LADDER = [
 ]
 
 
-def try_geom(depth, B, Q, T, H, W, accum, steps=3):
+def try_geom(depth, B, Q, T, H, W, accum, steps=3, policy=''):
     on_tpu = jax.default_backend() == 'tpu'   # CPU wiring test: XLA attention path
+    if not policy:
+        policy = 'dots_nb_out' if on_tpu else 'dots_nb'
     seeker = SeekerConfig(num_total_frames=T, frame_height=H, frame_width=W,
                           causal_attention=1, drop_path_rate=0.1, network_depth=depth,
                           compute_dtype=jnp.bfloat16 if on_tpu else jnp.float32,
-                          remat=True,
-                          remat_policy='dots_nb_out' if on_tpu else 'dots_nb',
+                          remat=True, remat_policy=policy,
                           use_pallas_attention=on_tpu,
                           attention_bwd='kernel_x' if on_tpu else 'res')
     cfg = step_lib.StepConfig(seeker=seeker, loss=LossConfig(), num_queries=Q)
@@ -93,17 +94,20 @@ def main():
     a = p.parse_args()
     ladder = DEFAULT_LADDER
     if a.geoms:
-        ladder = [tuple(int(x) for x in g.split(','))
+        # depth,B,Q,T,H,W,accum[,remat_policy]
+        ladder = [tuple(int(x) if i < 7 else x for i, x in enumerate(g.split(',')))
                   for g in a.geoms.split(';') if g]
     print(f'devices: {jax.devices()}', file=sys.stderr)
     rows = []
     for geom in ladder:
-        depth, B, Q, T, H, W, accum = geom
-        tag = f'd{depth} B{B} Q{Q} T{T} {H}x{W} accum{accum}'
+        depth, B, Q, T, H, W, accum = geom[:7]
+        policy = geom[7] if len(geom) > 7 else ''
+        tag = f'd{depth} B{B} Q{Q} T{T} {H}x{W} accum{accum}' + \
+              (f' {policy}' if policy else '')
         tokens = T * (H // 16) * (W // 16)
         print(f'[probe] {tag} ({tokens} tokens/clip)', file=sys.stderr)
         try:
-            ms = try_geom(*geom, steps=a.steps)
+            ms = try_geom(depth, B, Q, T, H, W, accum, steps=a.steps, policy=policy)
             clips = B / (ms / 1e3)
             rows.append((tag, tokens, f'{ms:.0f} ms/step', f'{clips:.3f} clips/s'))
             print(f'[probe] {tag}: {ms:.0f} ms/step = {clips:.3f} clips/s',
