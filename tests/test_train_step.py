@@ -323,49 +323,32 @@ def test_tensor_parallel_matches_single_device(small_model):
                                           ({'model': 4}, 'kernel_x'),
                                           ({'seq': 2, 'model': 2}, 'kernel_x'),
                                           ({'seq': 2, 'model': 2}, 'kernel_x_wg')])
-def test_pallas_kernel_path_on_sharded_mesh(small_model, mesh_kw, bwd):
+def test_pallas_kernel_path_on_sharded_mesh(mesh_kw, bwd):
     '''The FULL train step with the fused Pallas attention (in-kernel 'kernel_x' backward
     + 'dots_nb_out' remat — the measured-fastest single-chip config) must reproduce the
     single-device XLA-attention step on sharded meshes: the kernel runs under the
     fused_attention_rows shard_map wrap (interpret mode on CPU). Covers (data x seq),
     (data x model), and the 3-D mesh — VERDICT round 2, task 1 — plus the in-kernel
     weight-grad accumulation mode ('kernel_x_wg': per-shard f32 VMEM accumulators whose
-    outputs ride the shard_map transpose psum).'''
-    import dataclasses
-    from tcow_tpu.ops import pallas_attention as pa
-    cfg, tx, state = make_cfg_and_state()
-    batch_np = tiny_batch(B=2, seed=11)
+    outputs ride the shard_map transpose psum).
 
-    train_step = jax.jit(step_lib.make_train_step(cfg, tx))
-    state1, aux1 = train_step(state, {k: jnp.asarray(v) for k, v in batch_np.items()},
-                              jnp.float32(0.0))
-
-    mesh = mesh_lib.make_mesh(**mesh_kw)
-    seeker_k = dataclasses.replace(
-        cfg.seeker, batch_axis=mesh_lib.DATA_AXIS,
-        seq_axis=mesh_lib.SEQ_AXIS if mesh_kw.get('seq', 1) > 1 else None,
-        model_axis=mesh_lib.MODEL_AXIS if mesh_kw.get('model', 1) > 1 else None,
-        use_pallas_attention=True, attention_bwd=bwd,
-        remat=True, remat_policy='dots_nb_out')
-    cfg_k = dataclasses.replace(cfg, seeker=seeker_k)
-    step_k = jax.jit(step_lib.make_train_step(cfg_k, tx))
-    old = pa.INTERPRET
-    pa.INTERPRET = True
-    try:
-        with jax.set_mesh(mesh):
-            state_s = mesh_lib.shard_state(state, mesh,
-                                           tensor_parallel=mesh_kw.get('model', 1) > 1)
-            batch_sh = mesh_lib.shard_batch(batch_np, mesh)
-            state_k, aux_k = step_k(state_s, batch_sh, jnp.float32(0.0))
-            loss_k = float(aux_k['total_seeker'])
-            params_k = jax.device_get(state_k.params)
-    finally:
-        pa.INTERPRET = old
-    np.testing.assert_allclose(loss_k, float(aux1['total_seeker']), rtol=5e-4)
-    for a, b in zip(jax.tree_util.tree_leaves(state1.params),
-                    jax.tree_util.tree_leaves(params_k)):
-        # Kernel-vs-XLA float noise + cross-shard reduction order.
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5)
+    Runs in a FRESH subprocess (tests/pallas_sharded_worker.py): inside a long-lived
+    pytest process this 8-virtual-device interpret-mode program can die with a bare
+    SIGABRT in the result fetch (XLA CPU, no CHECK message) depending on accumulated
+    in-process state, while a fresh process passes deterministically (measured round 5,
+    NEXT.md OPERATIONAL note). Process isolation makes the equivalence check itself the
+    only thing under test.'''
+    import json
+    import subprocess
+    import sys
+    worker = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          'pallas_sharded_worker.py')
+    env = dict(os.environ)
+    env.pop('TCOW_DRYRUN_CHILD', None)
+    out = subprocess.run([sys.executable, worker, json.dumps(mesh_kw), bwd],
+                         env=env, capture_output=True, text=True, timeout=900)
+    assert out.returncode == 0, f'rc={out.returncode}\n{out.stdout}\n{out.stderr}'
+    assert 'PALLAS_SHARDED_OK' in out.stdout, (out.stdout, out.stderr)
 
 
 def test_tensor_parallel_with_seq_and_data(small_model):
