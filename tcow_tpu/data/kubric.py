@@ -37,6 +37,15 @@ PREPROCESS_CACHE_VERSION = 3  # v3: per-key .npy dir, loaded via mmap — no zip
                               # they read (v2 was uint8 rgb + packbit masks in one npz)
 
 
+class ConfigDataMismatchError(ValueError):
+    '''A scene can NEVER satisfy the requested clip config (e.g. too few frames on
+    disk for frame_inds_load, which is deterministic per config — augs.py:183-185).
+    Unlike transient per-scene failures this is not retried: resampling augs or
+    switching scenes in a homogeneous dataset cannot help, and without this the
+    loader burned 8 resample x 2 cache-heal retries per item before dying with a
+    bare assert (observed on a fresh-machine smoke, round 5).'''
+
+
 class KubricQueryDataset:
 
     def __init__(self, dset_root: str, logger, phase: str, num_frames: int = 24,
@@ -123,6 +132,8 @@ class KubricQueryDataset:
                 scene_dp = self.scene_dps[scene_idx]
                 kubric_retval = self._load_example(scene_dp, rng)
                 break
+            except ConfigDataMismatchError:
+                raise  # deterministic per config; resampling cannot help
             except Exception as e:
                 retries += 1
                 if self.logger is not None:
@@ -152,6 +163,8 @@ class KubricQueryDataset:
             try:
                 return self._load_example_deterministic(
                     scene_dp, augs_params, query_time, force_renew_cache=(retry >= 1))
+            except ConfigDataMismatchError:
+                raise  # a cache rebuild cannot add frames to the scene
             except Exception as e:
                 if retry == 0 and '[SkipCache]' not in str(e):
                     continue
@@ -215,8 +228,16 @@ class KubricQueryDataset:
             metadata_fp = os.path.join(scene_dp, scene_dn + '_p0_v0.json')
         with open(metadata_fp, 'r') as f:
             metadata = json.load(f)
-        assert metadata['scene']['num_frames'] >= max(frame_inds_load) + 1, \
-            'Not enough frames on disk for requested frame_inds_load.'
+        have = int(metadata['scene']['num_frames'])
+        need = int(max(frame_inds_load)) + 1
+        if have < need:
+            raise ConfigDataMismatchError(
+                f'{scene_dn}: scene has {have} frames but the clip config needs frame '
+                f'index {need - 1} (num_frames={self.num_frames_clip} + '
+                f'max_delay={self.max_delay}, frame_stride={self.frame_stride}). This '
+                f'holds for every sample of this config — regenerate the dataset with '
+                f'more frames (e.g. tcow_tpu.data.synthetic --frames >= {need}) or '
+                f'lower --num_frames / --frame_stride.')
 
         K = metadata['scene']['num_valo_instances']
         pv_rgb, pv_segm_rgb, pv_div = [], [], []

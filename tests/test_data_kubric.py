@@ -235,6 +235,18 @@ def test_kubric_cache_reuse(synth_dataset, tmp_path):
     _ = ds[0]  # second load goes through the cache path
 
 
+def test_kubric_config_data_mismatch_fails_fast(synth_dataset):
+    # Scenes have T=10 frames; asking for a 16-frame clip can NEVER succeed
+    # (frame_inds_load is deterministic per config, augs.py:183-185), so the loader
+    # must raise the dedicated error immediately instead of burning its 8-resample
+    # x 2-cache-heal retry budget on a structural mismatch.
+    from tcow_tpu.data.kubric import ConfigDataMismatchError
+    ds = KubricQueryDataset(synth_dataset, None, 'train', num_frames=16, frame_height=32,
+                            frame_width=48, num_queries=1, max_objects=6, seed=11)
+    with pytest.raises(ConfigDataMismatchError, match='16 frames|--frames >= 16'):
+        ds[0]
+
+
 def test_prefetch_loader_process_mode_matches_thread_mode(synth_dataset):
     '''worker_mode='process' (fork pool) must produce byte-identical batches to the thread
     loader: items are deterministic in (seed, epoch, index, retries) and collation happens
